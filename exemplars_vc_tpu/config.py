@@ -1,0 +1,215 @@
+"""Typed configuration for the exemplar-VC framework.
+
+Replaces the reference's flat-INI config (``/root/reference/config/config:1-48``
+parsed by ``utils.py:52-92`` into a stringly-typed dict that every script
+re-casts at import time). Here: frozen dataclasses with real types, loadable
+from the same INI format (so a reference user's config file keeps working),
+from TOML, or from CLI-style ``section.key=value`` overrides.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _parse_bool(s: str) -> bool:
+    return str(s).strip().lower() in ("1", "true", "yes", "on")
+
+
+@dataclass(frozen=True)
+class PathConfig:
+    """Reference ``[PATH]`` section (``config/config:1-4``)."""
+
+    root_path: str = "."
+    data_path: str = "data"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Reference ``[VAR]`` section (``config/config:6-12``)."""
+
+    src: str = "SF1"
+    tar: str = "TF1"
+    sr: int = 16000
+    feature_path: str = "data/vc"
+    use_stft: bool = True
+    # Ragged utterances are padded to a multiple of this many frames before
+    # batching under jit (new: the reference keeps python lists everywhere).
+    frame_bucket: int = 128
+
+
+@dataclass(frozen=True)
+class NetConfig:
+    """Warping-net hyperparameters, reference ``[NET]`` (``config/config:14-28``)."""
+
+    bidirectional: bool = False
+    in_size: int = 20
+    hidden_size: int = 20
+    out_size: int = 20
+    dropout_rate: float = 0.5
+    nb_epoch: int = 20
+    batch_size: int = 1
+    nb_frame_in_batch: int = 16
+    checkpoint_name: str = "checkpoint"
+    nb_lstm_layers: int = 2
+    patience: int = 30
+    learning_rate: float = 5e-3     # reference 02_freq_warping_neural.py:150 (RMSprop lr)
+    weight_decay: float = 1e-4      # reference 02_freq_warping_neural.py:150
+
+
+@dataclass(frozen=True)
+class McepConfig:
+    """Spectral feature parameters, reference ``[MCEP]`` (``config/config:30-38``)."""
+
+    frame_length: int = 400
+    hop_length: int = 80
+    order: int = 25
+    alpha: float = 0.42
+    gamma: float = -0.35
+    n_mfcc: int = 20
+    n_mels: int = 128
+    window: str = "hann"
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """WORLD vocoder parameters, reference ``[PYWORLD]`` (``config/config:40-44``)."""
+
+    frame_period_ms: float = 5.0
+    f0_is_refined: bool = True
+    f0_floor: float = 71.0
+    f0_ceil: float = 800.0
+    fft_size: int = 1024
+
+
+@dataclass(frozen=True)
+class NmfConfig:
+    """NMF solver budgets, reference ``04_align_n_nmf.py:212-213`` and
+    ``04_align_n_nmf_pytorch.py:207-208``."""
+
+    beta_loss: str = "frobenius"    # "frobenius" | "kullback-leibler"
+    tol: float = 1e-4
+    max_iter: int = 150
+    solver: str = "mu"              # "mu" | "cd" (cd budget: max_iter=200)
+    griffin_lim_iters: int = 300    # reference 04_align_n_nmf.py:187
+    # "correct": multiplicative residual log r = log X - log(A·H)  (default)
+    # "reference": r = log(A·H - X) with NaN->0, reproduced from
+    #   04_align_n_nmf.py:292-299,367-373 (documented quirk, SURVEY §7.3.6)
+    residual_mode: str = "correct"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (new — the reference has no distributed backend,
+    SURVEY §2.4/§5.8). Axes: ``data`` = utterance batch, ``dict`` = exemplar
+    dictionary shards."""
+
+    data_axis: int = 1
+    dict_axis: int = 1
+
+
+@dataclass(frozen=True)
+class MiscConfig:
+    """Reference ``[MISC]`` (``config/config:46-48``)."""
+
+    cpu_rate: float = 0.6
+    nb_file: int = 20
+
+
+@dataclass(frozen=True)
+class Config:
+    path: PathConfig = field(default_factory=PathConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    net: NetConfig = field(default_factory=NetConfig)
+    mcep: McepConfig = field(default_factory=McepConfig)
+    world: WorldConfig = field(default_factory=WorldConfig)
+    nmf: NmfConfig = field(default_factory=NmfConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    misc: MiscConfig = field(default_factory=MiscConfig)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+# INI section/key -> (dataclass section, field) mapping for reference configs.
+_INI_MAP = {
+    ("PATH", "rootpath"): ("path", "root_path"),
+    ("PATH", "datapath"): ("path", "data_path"),
+    ("VAR", "src"): ("data", "src"),
+    ("VAR", "tar"): ("data", "tar"),
+    ("VAR", "sr"): ("data", "sr"),
+    ("VAR", "feature_path"): ("data", "feature_path"),
+    ("VAR", "use_stft"): ("data", "use_stft"),
+    ("NET", "bidirectional"): ("net", "bidirectional"),
+    ("NET", "in_size"): ("net", "in_size"),
+    ("NET", "hidden_size"): ("net", "hidden_size"),
+    ("NET", "out_size"): ("net", "out_size"),
+    ("NET", "dropout_rate"): ("net", "dropout_rate"),
+    ("NET", "nb_epoch"): ("net", "nb_epoch"),
+    ("NET", "batch_size"): ("net", "batch_size"),
+    ("NET", "nb_frame_in_batch"): ("net", "nb_frame_in_batch"),
+    ("NET", "checkpoint_name"): ("net", "checkpoint_name"),
+    ("NET", "nb_lstm_layers"): ("net", "nb_lstm_layers"),
+    ("NET", "patience"): ("net", "patience"),
+    ("MCEP", "feat_framelength"): ("mcep", "frame_length"),
+    ("MCEP", "feat_hop_length"): ("mcep", "hop_length"),
+    ("MCEP", "feat_order"): ("mcep", "order"),
+    ("MCEP", "feat_alpha"): ("mcep", "alpha"),
+    ("MCEP", "feat_gamma"): ("mcep", "gamma"),
+    ("PYWORLD", "f0_is_refined"): ("world", "f0_is_refined"),
+    ("PYWORLD", "f0_floor"): ("world", "f0_floor"),
+    ("MISC", "cpu_rate"): ("misc", "cpu_rate"),
+    ("MISC", "nb_file"): ("misc", "nb_file"),
+}
+
+
+def _coerce(current: Any, raw: str) -> Any:
+    if isinstance(current, bool):
+        return _parse_bool(raw)
+    if isinstance(current, int):
+        return int(float(raw))
+    if isinstance(current, float):
+        return float(raw)
+    return raw
+
+
+def load_config(path: str | None = None, overrides: list[str] | None = None) -> Config:
+    """Build a :class:`Config`.
+
+    ``path`` may point at a reference-style INI file (like
+    ``/root/reference/config/config``); unknown keys are ignored.
+    ``overrides`` are ``section.field=value`` strings (e.g. ``nmf.max_iter=50``),
+    the CLI-flag system the reference lacks (``01_make_dict.py:296-297`` TODO).
+    """
+    cfg = Config()
+    sections = {f.name: dataclasses.asdict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+
+    if path is not None and os.path.isfile(path):
+        parser = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
+        parser.read(path)
+        for sec in parser.sections():
+            for key, raw in parser.items(sec):
+                mapped = _INI_MAP.get((sec.upper(), key.lower()))
+                if mapped is None:
+                    continue
+                dsec, dfield = mapped
+                sections[dsec][dfield] = _coerce(sections[dsec][dfield], raw)
+
+    for ov in overrides or []:
+        lhs, _, raw = ov.partition("=")
+        dsec, _, dfield = lhs.strip().partition(".")
+        if dsec not in sections or dfield not in sections[dsec]:
+            raise KeyError(f"unknown config override: {ov!r}")
+        sections[dsec][dfield] = _coerce(sections[dsec][dfield], raw.strip())
+
+    types = {f.name: f.type for f in dataclasses.fields(cfg)}
+    built = {}
+    for f in dataclasses.fields(cfg):
+        section_cls = type(getattr(cfg, f.name))
+        built[f.name] = section_cls(**sections[f.name])
+    del types
+    return Config(**built)

@@ -1,0 +1,65 @@
+"""Griffin-Lim phase reconstruction as one jitted fixed-point loop.
+
+Replaces ``reconstruct_signal_griffin_lim`` (``zz_audio_utilities.py:258-292``:
+random init, N iterations of stft→phase→istft, per-iteration RMSE print). Here
+the whole loop is a ``lax.fori_loop`` compiled once — no host round-trips —
+with optional momentum (fast Griffin-Lim, Perraudin et al. 2013) which the
+reference does not have; momentum=0 reproduces the classic update.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from exemplars_vc_tpu.dsp.stft import istft, stft
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "n_iter", "length", "momentum"),
+)
+def griffin_lim(
+    magnitude: jnp.ndarray,
+    n_fft: int = 400,
+    hop_length: int = 80,
+    n_iter: int = 300,
+    length: int | None = None,
+    momentum: float = 0.9,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """(n_frames, n_bins) magnitude → time signal.
+
+    n_iter=300 matches the reference's budget (``04_align_n_nmf.py:187``).
+    Phases are initialized randomly (as in the reference, which initializes
+    the *signal* with white noise — ``zz_audio_utilities.py:281``); zero-phase
+    init stalls in a symmetric fixed point. ``key`` defaults to PRNGKey(0)
+    for determinism.
+    """
+    mag = jnp.maximum(magnitude, 0.0).astype(jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    angles = jnp.exp(
+        2j * jnp.pi * jax.random.uniform(key, mag.shape, dtype=jnp.float32)
+    ).astype(jnp.complex64)
+
+    def project(angles):
+        """mag∘angles → signal → stft (one GL projection pair)."""
+        y = istft(mag * angles, n_fft=n_fft, hop_length=hop_length, length=length)
+        s = stft(y, n_fft=n_fft, hop_length=hop_length)
+        return s[: mag.shape[0]]
+
+    def body(_, carry):
+        angles, prev_rebuilt = carry
+        rebuilt = project(angles)
+        # momentum extrapolation; momentum=0.0 → plain Griffin-Lim
+        tprev = rebuilt - (momentum / (1.0 + momentum)) * prev_rebuilt
+        angles = tprev / jnp.maximum(jnp.abs(tprev), 1e-16)
+        return angles, rebuilt
+
+    angles, _ = jax.lax.fori_loop(
+        0, n_iter, body, (angles, jnp.zeros_like(angles))
+    )
+    return istft(mag * angles, n_fft=n_fft, hop_length=hop_length, length=length)

@@ -1,0 +1,144 @@
+"""Speaker datasets, padded batching, and the resumable artifact store.
+
+Replaces the reference's ad-hoc pickle/npy memoization (``utils.py:95-215``,
+``01_make_dict_parallel.py:161-177``, ``03_a_b_r_parallel.py:124-126``) — which
+doubles as its crash-recovery mechanism (SURVEY §5.3/§5.4) — with one typed
+store. Ragged utterances become fixed-shape padded+masked batches so every
+downstream stage (DTW, NMF, synthesis) runs under jit with static shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from exemplars_vc_tpu.io.wav import read_wav
+
+
+def list_speaker_wavs(data_path: str, speaker: str) -> list[str]:
+    d = os.path.join(data_path, speaker)
+    return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.lower().endswith(".wav")]
+
+
+def load_speaker(
+    data_path: str,
+    speaker: str,
+    nb_file: int | None = None,
+    cache_dir: str | None = None,
+    use_native: bool = True,
+) -> tuple[list[np.ndarray], int]:
+    """Load all wavs of one speaker → (list of float64 signals, sample_rate).
+
+    Replaces ``io_read_speaker_data`` + npy whole-speaker cache
+    (``utils.py:116-171``). Uses the native C++ threaded loader when built,
+    else the numpy reader. Caching is per-speaker ``.npz`` (object arrays are
+    avoided; ragged signals stored concatenated + offsets).
+    """
+    paths = list_speaker_wavs(data_path, speaker)
+    if nb_file is not None:
+        paths = paths[:nb_file]
+    if not paths:
+        raise FileNotFoundError(f"no wavs for speaker {speaker} under {data_path}")
+
+    cache = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.sha1(("|".join(paths)).encode()).hexdigest()[:16]
+        cache = os.path.join(cache_dir, f"{speaker}_{key}.npz")
+        if os.path.isfile(cache):
+            z = np.load(cache)
+            flat, offs, sr = z["flat"], z["offsets"], int(z["sr"])
+            sigs = [flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+            return sigs, sr
+
+    sigs: list[np.ndarray] = []
+    sr = None
+    if use_native:
+        try:
+            from exemplars_vc_tpu.io import native
+
+            if native.available():
+                sigs, sr = native.read_wavs(paths)
+        except Exception:
+            sigs = []
+    if not sigs:
+        for p in paths:
+            x, this_sr = read_wav(p)
+            if sr is not None and this_sr != sr:
+                raise ValueError(f"inconsistent sample rates in {speaker}: {this_sr} vs {sr}")
+            sr = this_sr
+            sigs.append(x)
+
+    if cache is not None:
+        offs = np.zeros(len(sigs) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum([len(s) for s in sigs])
+        flat = np.concatenate(sigs) if sigs else np.zeros(0)
+        np.savez(cache, flat=flat, offsets=offs, sr=sr)
+    return sigs, int(sr)
+
+
+def pad_to_bucket(x: np.ndarray, bucket: int, axis: int = 0) -> tuple[np.ndarray, int]:
+    """Pad ``axis`` up to the next multiple of ``bucket``; return (padded, true_len)."""
+    n = x.shape[axis]
+    target = ((n + bucket - 1) // bucket) * bucket if n else bucket
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(x, pad), n
+
+
+def stack_ragged(
+    arrays: list[np.ndarray], bucket: int = 128
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stack ragged (T_i, D) arrays into (N, T_max_padded, D) + lengths (N,).
+
+    The fixed-shape replacement for the reference's python-list-of-utterances
+    representation (``01_make_dict_parallel.py`` throughout)."""
+    t_max = max(a.shape[0] for a in arrays)
+    t_pad = ((t_max + bucket - 1) // bucket) * bucket
+    out = np.zeros((len(arrays), t_pad) + arrays[0].shape[1:], dtype=arrays[0].dtype)
+    lens = np.zeros(len(arrays), dtype=np.int32)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[0]] = a
+        lens[i] = a.shape[0]
+    return out, lens
+
+
+@dataclass
+class ArtifactStore:
+    """Content-addressed stage-output store: every pipeline stage checks
+    before recompute, so a crashed run resumes at the last completed stage —
+    the typed version of the reference's pickle-checkpoint pattern
+    (``04_align_n_nmf.py:251-302``)."""
+
+    root: str
+
+    def _path(self, name: str) -> str:
+        os.makedirs(self.root, exist_ok=True)
+        return os.path.join(self.root, f"{name}.npz")
+
+    def has(self, name: str) -> bool:
+        return os.path.isfile(self._path(name))
+
+    def save(self, name: str, **arrays: np.ndarray) -> None:
+        tmp = self._path(name) + ".tmp.npz"  # np.savez appends .npz otherwise
+        np.savez(tmp, **arrays)
+        os.replace(tmp, self._path(name))  # atomic: no torn artifacts on crash
+
+    def load(self, name: str) -> dict[str, np.ndarray]:
+        with np.load(self._path(name)) as z:
+            return {k: z[k] for k in z.files}
+
+    def save_json(self, name: str, obj) -> None:
+        p = os.path.join(self.root, f"{name}.json")
+        os.makedirs(self.root, exist_ok=True)
+        with open(p + ".tmp", "w") as f:
+            json.dump(obj, f)
+        os.replace(p + ".tmp", p)
+
+    def load_json(self, name: str):
+        with open(os.path.join(self.root, f"{name}.json")) as f:
+            return json.load(f)

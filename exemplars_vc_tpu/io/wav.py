@@ -1,0 +1,86 @@
+"""WAV read/write without third-party audio libraries.
+
+Replaces the reference's librosa-based IO (``utils.py:218-220`` — float64,
+``sr=None``) and int16 writer (``zz_audio_utilities.py:295-314``). Pure
+numpy RIFF parsing; a native C++ threaded batch loader is available in
+:mod:`exemplars_vc_tpu.io.native` for directory-scale loads.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+
+
+def read_wav(path: str, dtype=np.float64) -> tuple[np.ndarray, int]:
+    """Read a RIFF/WAVE file → (mono float signal in [-1, 1), sample_rate).
+
+    Matches ``librosa.load(path, sr=None, dtype=np.double)`` semantics used at
+    reference ``utils.py:218-220`` / ``04_align_n_nmf.py:398``: native sample
+    rate, int PCM scaled by 2**(bits-1), multi-channel averaged to mono.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+
+    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):  # IEEE float
+        x = np.frombuffer(raw, dtype=np.float32).astype(dtype)
+    elif audio_format in (1, 0xFFFE):
+        pcm_dtype = _PCM_DTYPES.get(bits)
+        if pcm_dtype is None:
+            raise ValueError(f"{path}: unsupported bit depth {bits}")
+        x = np.frombuffer(raw, dtype=pcm_dtype).astype(dtype)
+        if bits == 8:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (bits - 1))
+    else:
+        raise ValueError(f"{path}: unsupported audio format {audio_format}")
+
+    if n_channels > 1:
+        x = x[: (len(x) // n_channels) * n_channels]
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return np.ascontiguousarray(x, dtype=dtype), sample_rate
+
+
+def write_wav(path: str, x: np.ndarray, sample_rate: int) -> None:
+    """Write a mono float signal in [-1, 1] as 16-bit PCM.
+
+    Mirrors ``zz_audio_utilities.py:295-314`` (int16 quantization with max
+    normalization only when the signal clips)."""
+    x = np.asarray(x, dtype=np.float64)
+    peak = np.max(np.abs(x)) if x.size else 0.0
+    if peak > 1.0:
+        x = x / peak
+    pcm = np.round(x * 32767.0).astype("<i2")
+    body = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(body)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(body)))
+        f.write(body)

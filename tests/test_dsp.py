@@ -1,0 +1,115 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from exemplars_vc_tpu.dsp import (
+    frame_signal,
+    get_window,
+    griffin_lim,
+    istft,
+    mel_filterbank,
+    mfcc,
+    stft,
+)
+from exemplars_vc_tpu.dsp.mel import dct_matrix, power_to_db
+
+
+def _sig(n=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000
+    return (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 880 * t)
+        + 0.01 * rng.standard_normal(n)
+    ).astype(np.float32)
+
+
+def test_windows_match_scipy():
+    for name in ["hann", "hamming", "blackman"]:
+        w = np.asarray(get_window(name, 400, periodic=True))
+        ref = scipy.signal.get_window(name, 400, fftbins=True)
+        np.testing.assert_allclose(w, ref, atol=1e-6)
+        ws = np.asarray(get_window(name, 400, periodic=False))
+        refs = scipy.signal.get_window(name, 400, fftbins=False)
+        np.testing.assert_allclose(ws, refs, atol=1e-6)
+
+
+def test_frame_signal():
+    x = jnp.arange(1000, dtype=jnp.float32)
+    f = frame_signal(x, 400, 80)
+    assert f.shape == ((1000 - 400) // 80 + 1, 400)
+    np.testing.assert_array_equal(np.asarray(f[1]), np.arange(80, 480))
+
+
+def test_stft_matches_scipy():
+    x = _sig()
+    S = np.asarray(stft(jnp.asarray(x), n_fft=400, hop_length=80))
+    # scipy ShortTimeFFT equivalent: periodic hann, centered, reflect padding
+    w = scipy.signal.get_window("hann", 400, fftbins=True)
+    xp = np.pad(x, 200, mode="reflect")
+    n_frames = S.shape[0]
+    ref = np.stack(
+        [np.fft.rfft(xp[i * 80 : i * 80 + 400] * w) for i in range(n_frames)]
+    )
+    np.testing.assert_allclose(S, ref, atol=1e-3)
+
+
+def test_stft_istft_roundtrip():
+    x = _sig()
+    S = stft(jnp.asarray(x), n_fft=400, hop_length=80)
+    y = np.asarray(istft(S, n_fft=400, hop_length=80, length=len(x)))
+    # interior must reconstruct near-perfectly (NOLA inverse)
+    err = np.abs(y[400:-400] - x[400:-400])
+    assert err.max() < 1e-4
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = mel_filterbank(16000, 400, n_mels=128)
+    assert fb.shape == (128, 201)
+    assert (fb >= 0).all()
+    # every filter has support
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_dct_matrix_orthonormal():
+    D = dct_matrix(128, 128, dtype=np.float64)
+    np.testing.assert_allclose(D @ D.T, np.eye(128), atol=1e-10)
+
+
+def test_power_to_db_topdb():
+    S = jnp.asarray([1.0, 1e-12])
+    db = np.asarray(power_to_db(S))
+    assert db[0] == 0.0
+    assert db[1] == -80.0  # clamped at max - top_db
+
+
+def test_mfcc_shapes_and_sanity():
+    x = _sig()
+    m = np.asarray(mfcc(jnp.asarray(x), sr=16000, n_fft=400, hop_length=80))
+    assert m.shape == (1 + len(x) // 80, 20)
+    assert np.isfinite(m).all()
+    # c0 tracks loudness: scaled signal shifts c0 but not higher coeffs much
+    m2 = np.asarray(mfcc(jnp.asarray(0.1 * x), sr=16000, n_fft=400, hop_length=80))
+    assert abs((m2[:, 0] - m[:, 0]).mean()) > 1.0
+
+
+def test_griffin_lim_reconstructs_tone():
+    x = _sig(8000)
+    mag = jnp.abs(stft(jnp.asarray(x), n_fft=400, hop_length=80))
+    y = np.asarray(
+        griffin_lim(mag, n_fft=400, hop_length=80, n_iter=100, length=len(x))
+    )
+    assert y.shape == x.shape
+    mag_y = np.abs(np.asarray(stft(jnp.asarray(y), n_fft=400, hop_length=80)))
+    # spectral convergence: reconstructed magnitude close to target
+    sc = np.linalg.norm(mag_y - np.asarray(mag)) / np.linalg.norm(np.asarray(mag))
+    assert sc < 0.1
+
+
+def test_stft_on_reference_audio(sf1_wav):
+    x, sr = sf1_wav
+    S = stft(jnp.asarray(x[: 2 * sr], dtype=jnp.float32), n_fft=400, hop_length=80)
+    assert S.shape[1] == 201
+    assert bool(jnp.isfinite(jnp.abs(S)).all())
