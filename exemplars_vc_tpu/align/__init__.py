@@ -1,0 +1,9 @@
+from exemplars_vc_tpu.align.dtw import (  # noqa: F401
+    dtw,
+    dtw_batch,
+    pairwise_sqdist,
+)
+from exemplars_vc_tpu.align.exemplar import (  # noqa: F401
+    build_exemplar_dicts,
+    gather_aligned,
+)

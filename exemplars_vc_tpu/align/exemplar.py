@@ -1,0 +1,59 @@
+"""Exemplar-dictionary construction from DTW paths.
+
+Replaces the reference's python gather loops: ``make_exemplar_dict_W``
+(``01_make_dict_parallel.py:291-292`` — keeps the index paths), the aligned
+feature gathers of ``align_sp_ap_f0`` (``04_align_n_nmf.py:113-167`` — frame j
+of utterance i ← feat[path[j]], SURVEY's HOT LOOP #2), and the dictionary
+flattening of ``init_A_exemplar`` (``04_align_n_nmf.py:230-246``).
+
+Here each gather is a single ``jnp.take`` per utterance (vmapped), and the
+flattened parallel dictionaries (A = source exemplars, B = target exemplars)
+come out as fixed-shape padded matrices + validity mask — ready to be the NMF
+dictionary, sharded over devices along the exemplar axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gather_aligned(feat: jnp.ndarray, path: jnp.ndarray) -> jnp.ndarray:
+    """(T, D) features + (P,) path indices (−1 padded) → (P, D) aligned frames.
+
+    Padded entries return row 0; mask with ``path >= 0`` downstream."""
+    return jnp.take(feat, jnp.clip(path, 0, feat.shape[0] - 1), axis=0)
+
+
+@jax.jit
+def gather_aligned_batch(feats: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
+    """(N, T, D) + (N, P) → (N, P, D)."""
+    return jax.vmap(gather_aligned)(feats, paths)
+
+
+def build_exemplar_dicts(
+    feats_a: np.ndarray,
+    feats_b: np.ndarray,
+    path_i: np.ndarray,
+    path_j: np.ndarray,
+    path_lens: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten aligned frame pairs of all utterances into the parallel
+    exemplar dictionaries.
+
+    feats_a/feats_b: (N, T, D) padded features; path_i/path_j: (N, P) DTW
+    paths (−1 padded); returns (A, B) of shape (K, D) with
+    K = Σ path_lens — exactly the frame-pair dictionary the reference builds
+    by list-extending per utterance (``04_align_n_nmf.py:230-246``).
+    Host-side (ragged concat); the device-side padded form is
+    :func:`gather_aligned_batch` + mask.
+    """
+    a_rows, b_rows = [], []
+    for n in range(feats_a.shape[0]):
+        ln = int(path_lens[n])
+        ia = np.asarray(path_i[n, :ln])
+        ib = np.asarray(path_j[n, :ln])
+        a_rows.append(np.asarray(feats_a[n])[ia])
+        b_rows.append(np.asarray(feats_b[n])[ib])
+    return np.concatenate(a_rows, axis=0), np.concatenate(b_rows, axis=0)
