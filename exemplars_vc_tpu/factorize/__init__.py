@@ -1,0 +1,7 @@
+from exemplars_vc_tpu.factorize.nmf import (  # noqa: F401
+    NmfState,
+    convert_features,
+    nmf_activations,
+    residual_compensation,
+)
+from exemplars_vc_tpu.factorize.qrmf import nnls_activations, qr_activations  # noqa: F401

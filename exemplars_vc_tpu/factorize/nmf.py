@@ -1,0 +1,162 @@
+"""Fixed-dictionary NMF as a fused multiplicative-update matmul loop.
+
+Replaces sklearn ``non_negative_factorization(X, H=A, init="custom",
+update_H=False, solver='mu', beta_loss='frobenius', tol=1e-4, max_iter=150)``
+— the workhorse of the reference's conversion (``04_align_n_nmf.py:194-215``,
+SURVEY HOT LOOP #3) — plus the residual compensation and conversion algebra
+(``04_align_n_nmf.py:292-299, 336-393``) and the TF-v1 NMF prototype
+(``nmf_tool/nmf.py:20-80``).
+
+Semantics: given utterance features X (F, D) and the exemplar dictionary
+A (K, D), find activations H ≥ 0 (F, K) with X ≈ H·A, A fixed. sklearn's MU
+update (W-side, H fixed) is
+
+    H ← H ⊙ (X·Aᵀ) / (H·(A·Aᵀ))          [Frobenius]
+    H ← H ⊙ ((X ⊘ H·A)·Aᵀ) / (1·Aᵀ)      [KL]
+
+TPU-first choices:
+- X·Aᵀ is loop-invariant → computed once.
+- The denominator is associated as (H·A)·Aᵀ, NOT H·(A·Aᵀ): with K exemplar
+  frames ≫ D feature dims this is 2·F·K·D instead of F·K² FLOPs per iteration
+  and avoids materializing the K×K Gram (576 MB at K=12k). All matmuls hit
+  the MXU; the elementwise multiply/divide fuses into the epilogue.
+- Convergence mirrors sklearn: ‖X − H·A‖_F checked every 10 iterations,
+  stop when (prev_err − err) < tol·err_init, inside one ``lax.while_loop``
+  (no host round-trips).
+- The dictionary axis K shards across devices: both per-iteration matmuls
+  reduce/broadcast over K with one psum pair (see parallel.sharded_nmf).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 2.220446049250313e-16  # np.finfo(float64).eps — sklearn's EPSILON
+
+
+class NmfState(NamedTuple):
+    H: jnp.ndarray           # (F, K) activations
+    n_iter: jnp.ndarray      # iterations actually run
+    error: jnp.ndarray       # final Frobenius error ||X - H·A||_F
+
+
+def _mu_step_frobenius(H, X, A, numerator):
+    denom = jnp.dot(
+        jnp.dot(H, A, preferred_element_type=H.dtype),
+        A.T,
+        preferred_element_type=H.dtype,
+    )
+    denom = jnp.where(denom == 0.0, _EPS, denom)
+    return H * (numerator / denom)
+
+
+def _mu_step_kl(H, X, A, row_sum_A):
+    WH = jnp.dot(H, A, preferred_element_type=H.dtype)
+    ratio = X / jnp.maximum(WH, _EPS)
+    num = jnp.dot(ratio, A.T, preferred_element_type=H.dtype)
+    denom = jnp.where(row_sum_A == 0.0, _EPS, row_sum_A)
+    return H * (num / denom)
+
+
+@partial(jax.jit, static_argnames=("beta_loss", "max_iter", "check_every"))
+def nmf_activations(
+    X: jnp.ndarray,
+    A: jnp.ndarray,
+    beta_loss: str = "frobenius",
+    tol: float = 1e-4,
+    max_iter: int = 150,
+    check_every: int = 10,
+) -> NmfState:
+    """Solve for activations H ≥ 0 with X ≈ H·A, A fixed.
+
+    Defaults reproduce the reference's solver budget
+    (``04_align_n_nmf.py:212-213``). Initialization matches sklearn's
+    ``update_H=False`` path: H = full(sqrt(mean(X)/K)).
+    """
+    F, D = X.shape
+    K = A.shape[0]
+    dtype = X.dtype
+
+    avg = jnp.sqrt(jnp.maximum(X.mean(), 0.0) / K)
+    H0 = jnp.full((F, K), avg, dtype=dtype)
+
+    if beta_loss == "frobenius":
+        numerator = jnp.dot(X, A.T, preferred_element_type=dtype)
+        step = lambda H: _mu_step_frobenius(H, X, A, numerator)
+    elif beta_loss in ("kullback-leibler", "kl"):
+        row_sum_A = jnp.sum(A, axis=1)[None, :].astype(dtype)
+        step = lambda H: _mu_step_kl(H, X, A, row_sum_A)
+    else:
+        raise ValueError(f"unknown beta_loss {beta_loss!r}")
+
+    def frob_error(H):
+        R = X - jnp.dot(H, A, preferred_element_type=dtype)
+        return jnp.sqrt(jnp.sum(R * R))
+
+    err_init = frob_error(H0)
+    n_blocks = max_iter // check_every
+
+    def cond(carry):
+        _, block, prev_err, done = carry
+        return (block < n_blocks) & ~done
+
+    def body(carry):
+        H, block, prev_err, done = carry
+        H = jax.lax.fori_loop(0, check_every, lambda _, h: step(h), H)
+        err = frob_error(H)
+        converged = (tol > 0) & ((prev_err - err) < tol * err_init)
+        return (H, block + 1, err, converged)
+
+    H, blocks, err, _ = jax.lax.while_loop(
+        cond, body, (H0, jnp.int32(0), err_init, jnp.bool_(False))
+    )
+    # remainder iterations when max_iter is not a multiple of check_every
+    rem = max_iter - n_blocks * check_every
+    if rem:
+        H = jax.lax.fori_loop(0, rem, lambda _, h: step(h), H)
+        err = frob_error(H)
+    return NmfState(H, blocks * check_every, err)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def residual_compensation(
+    X: jnp.ndarray, H: jnp.ndarray, A: jnp.ndarray, mode: str = "correct"
+) -> jnp.ndarray:
+    """Residual factor R (F, D) such that conversion multiplies HᵀB by R.
+
+    mode="correct": R = X / max(H·A, eps) — the multiplicative spectral
+    residual (log r = log X − log X̂), which is what residual compensation
+    means in the exemplar-VC formulation.
+
+    mode="reference": R = (H·A) − X with NaN-for-negatives semantics
+    reproduced from ``04_align_n_nmf.py:292-299`` (log of a difference that
+    can be negative, NaN→0 before use at ``:367-373``) — kept as a documented
+    compatibility quirk (SURVEY §7.3.6).
+    """
+    Xhat = jnp.dot(H, A, preferred_element_type=X.dtype)
+    if mode == "correct":
+        return X / jnp.maximum(Xhat, _EPS)
+    elif mode == "reference":
+        diff = Xhat - X
+        logR = jnp.log(diff)  # NaN where diff < 0, as in the reference
+        return jnp.where(jnp.isnan(logR), 0.0, jnp.exp(jnp.nan_to_num(logR)))
+    raise ValueError(f"unknown residual mode {mode!r}")
+
+
+@jax.jit
+def convert_features(
+    H: jnp.ndarray, B: jnp.ndarray, R: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Converted features Y = (H·B) ⊙ R (R optional).
+
+    The reference computes exp(log(Hᵀ·B) + log R) (``04_align_n_nmf.py:371-373``)
+    which is exactly this product; the STFT path is plain Hᵀ·B (``:390-391``).
+    """
+    Y = jnp.dot(H, B, preferred_element_type=H.dtype)
+    if R is not None:
+        Y = Y * R
+    return Y

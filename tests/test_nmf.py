@@ -1,0 +1,123 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.decomposition import non_negative_factorization
+
+from exemplars_vc_tpu.factorize import (
+    convert_features,
+    nmf_activations,
+    nnls_activations,
+    qr_activations,
+    residual_compensation,
+)
+
+
+def _problem(F=40, K=60, D=25, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = np.abs(rng.standard_normal((K, D))).astype(dtype)
+    H_true = np.abs(rng.standard_normal((F, K))).astype(dtype) * (rng.random((F, K)) < 0.1)
+    X = (H_true @ A + 0.01 * np.abs(rng.standard_normal((F, D)))).astype(dtype)
+    return X, A
+
+
+def sklearn_fixed_dict(X, A, beta_loss="frobenius", tol=1e-4, max_iter=150):
+    """The reference's exact sklearn call (04_align_n_nmf.py:212-213)."""
+    W, H, n_iter = non_negative_factorization(
+        X=X, H=A, init="custom", update_H=False, n_components=A.shape[0],
+        solver="mu", beta_loss=beta_loss, tol=tol, max_iter=max_iter,
+    )
+    return W, n_iter
+
+
+def test_matches_sklearn_frobenius():
+    X, A = _problem()
+    W_ref, n_ref = sklearn_fixed_dict(X, A)
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A))
+    H = np.asarray(st.H, dtype=np.float64)
+    # same solver semantics → same fixed point within float32 drift
+    Xhat_ref = W_ref @ A
+    Xhat = H @ A
+    np.testing.assert_allclose(Xhat, Xhat_ref, rtol=5e-3, atol=5e-3)
+    rel = np.linalg.norm(H - W_ref) / np.linalg.norm(W_ref)
+    assert rel < 5e-2
+
+
+def test_matches_sklearn_kl():
+    X, A = _problem(seed=1)
+    W_ref, _ = sklearn_fixed_dict(X, A, beta_loss="kullback-leibler")
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A), beta_loss="kullback-leibler")
+    H = np.asarray(st.H, dtype=np.float64)
+    np.testing.assert_allclose(H @ A, W_ref @ A, rtol=1e-2, atol=1e-2)
+
+
+def test_error_decreases_and_nonneg():
+    X, A = _problem(seed=2)
+    st1 = nmf_activations(jnp.asarray(X), jnp.asarray(A), max_iter=10, tol=0.0)
+    st2 = nmf_activations(jnp.asarray(X), jnp.asarray(A), max_iter=150, tol=0.0)
+    assert float(st2.error) <= float(st1.error) + 1e-9
+    assert bool((st2.H >= 0).all())
+
+
+def test_early_stop_runs_fewer_iters():
+    X, A = _problem(seed=3)
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=1e-1, max_iter=150)
+    assert int(st.n_iter) < 150
+
+
+def test_residual_and_convert_roundtrip():
+    X, A = _problem(seed=4)
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A))
+    R = residual_compensation(jnp.asarray(X), st.H, jnp.asarray(A), mode="correct")
+    # converting with B = A and the residual must reproduce X exactly
+    Y = convert_features(st.H, jnp.asarray(A), R)
+    np.testing.assert_allclose(np.asarray(Y), X, rtol=1e-4, atol=1e-6)
+
+
+def test_residual_reference_mode_no_nans():
+    X, A = _problem(seed=5)
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A))
+    R = residual_compensation(jnp.asarray(X), st.H, jnp.asarray(A), mode="reference")
+    assert bool(jnp.isfinite(R).all())
+
+
+def test_convert_without_residual():
+    X, A = _problem(seed=6)
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A))
+    B = A * 2.0
+    Y = convert_features(st.H, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(Y), 2.0 * np.asarray(st.H @ A), rtol=1e-5)
+
+
+def test_qr_activations_exact_when_overdetermined():
+    rng = np.random.default_rng(7)
+    K, D, F = 10, 25, 13
+    A = rng.standard_normal((K, D))
+    H_true = rng.standard_normal((F, K))
+    X = H_true @ A
+    H = np.asarray(qr_activations(jnp.asarray(X), jnp.asarray(A)))
+    np.testing.assert_allclose(H @ A, X, atol=1e-4)  # float32 QR
+    np.testing.assert_allclose(H, H_true, atol=1e-3)
+
+
+def test_qr_activations_underdetermined_reconstructs():
+    rng = np.random.default_rng(8)
+    K, D, F = 40, 12, 9
+    A = rng.standard_normal((K, D))
+    X = rng.standard_normal((F, D))
+    H = np.asarray(qr_activations(jnp.asarray(X), jnp.asarray(A)))
+    np.testing.assert_allclose(H @ A, X, atol=1e-4)  # full row-rank-D fit (float32)
+
+
+def test_nnls_close_to_scipy():
+    import scipy.optimize
+
+    rng = np.random.default_rng(9)
+    K, D = 12, 20
+    A = np.abs(rng.standard_normal((K, D)))
+    x = np.abs(rng.standard_normal(D))
+    H = np.asarray(nnls_activations(jnp.asarray(x[None, :]), jnp.asarray(A), n_iter=2000))[0]
+    h_ref, _ = scipy.optimize.nnls(A.T, x)
+    resid = np.linalg.norm(H @ A - x)
+    resid_ref = np.linalg.norm(h_ref @ A - x)
+    assert resid <= resid_ref * 1.01 + 1e-8
+    assert (H >= 0).all()
