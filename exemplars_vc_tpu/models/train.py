@@ -1,0 +1,175 @@
+"""Training loop for the neural warping net (stage 02).
+
+Re-designs ``02_freq_warping_neural.py:121-246``: L1 loss (summed, the
+reference's ``L1Loss(size_average=False)`` — ``:149``), RMSprop(lr=5e-3,
+weight_decay=1e-4) (``:150``), nb_epoch epochs, held-out 20% eval each epoch,
+best-average-loss checkpointing and patience early stopping (``:222-242``).
+
+TPU-first: instead of one python-level optimizer step per utterance with
+host↔device transfers each iteration, utterances are padded/masked into a
+single device batch and every epoch is a handful of jitted update steps; the
+batch axis is the data-parallel axis over a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from exemplars_vc_tpu.align.exemplar import gather_aligned_batch
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.io import ArtifactStore
+from exemplars_vc_tpu.models.warping import (
+    WarpingNetConfig,
+    init_warping_params,
+    warping_forward_batch,
+)
+from exemplars_vc_tpu.obs import Timer, get_logger
+from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
+
+
+def make_warping_dataset(cfg: Config, store: ArtifactStore, data_path: str,
+                         nb_file: int | None = None):
+    """Aligned (source, target) frame sequences from the exemplar dictionary —
+    the training pairs the reference loads from ``SF12TM3_*.pkl``
+    (``02_freq_warping_neural.py:257-260``)."""
+    art = make_dictionary(cfg, store, data_path, nb_file=nb_file)
+    src = gather_aligned_batch(jnp.asarray(art.feat_a), jnp.asarray(art.path_i))
+    tar = gather_aligned_batch(jnp.asarray(art.feat_b), jnp.asarray(art.path_j))
+    mask = (art.path_i >= 0).astype(np.float32)
+    return np.asarray(src), np.asarray(tar), mask
+
+
+def train_test_split(n: int, test_size: float = 0.2, seed: int = 10):
+    """Index split mirroring the reference's sklearn call
+    (``utils.py:109``: test_size=0.2, random_state=10)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_test = max(1, int(round(n * test_size)))
+    return perm[n_test:], perm[:n_test]
+
+
+@partial(jax.jit, static_argnames=("optimizer",))
+def _update(params, opt_state, x, y, mask, optimizer):
+    def loss_fn(p):
+        pred = warping_forward_batch(p, x)
+        l1 = jnp.abs(pred - y) * mask[..., None]
+        return jnp.sum(l1)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+@jax.jit
+def _eval_loss(params, x, y, mask):
+    pred = warping_forward_batch(params, x)
+    return jnp.sum(jnp.abs(pred - y) * mask[..., None])
+
+
+def save_params(store: ArtifactStore, name: str, params) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    store.save(name, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    store.save_json(name + "_meta", {"n_leaves": len(leaves)})
+
+
+def load_params(store: ArtifactStore, name: str, like) -> dict:
+    z = store.load(name)
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z))]
+    treedef = jax.tree_util.tree_structure(like)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def train_warping_net(
+    cfg: Config,
+    store: ArtifactStore,
+    data_path: str,
+    nb_file: int | None = None,
+    run_root: str = "runs",
+    seed: int = 0,
+) -> dict:
+    log = get_logger()
+    src, tar, mask = make_warping_dataset(cfg, store, data_path, nb_file=nb_file)
+    idx_train, idx_test = train_test_split(src.shape[0])
+    log.info("warping dataset: %d train / %d test utterances, T=%d",
+             len(idx_train), len(idx_test), src.shape[1])
+
+    net_cfg = WarpingNetConfig(
+        in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
+        out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
+    )
+    params = init_warping_params(jax.random.PRNGKey(seed), net_cfg)
+
+    # torch RMSprop + weight_decay ~ optax rmsprop with decoupled L2-in-grad
+    optimizer = optax.chain(
+        optax.add_decayed_weights(cfg.net.weight_decay),
+        optax.rmsprop(learning_rate=cfg.net.learning_rate),
+    )
+    opt_state = optimizer.init(params)
+
+    xs_tr = jnp.asarray(src[idx_train])
+    ys_tr = jnp.asarray(tar[idx_train])
+    m_tr = jnp.asarray(mask[idx_train])
+    xs_te = jnp.asarray(src[idx_test])
+    ys_te = jnp.asarray(tar[idx_test])
+    m_te = jnp.asarray(mask[idx_test])
+
+    best_loss, best_epoch, stale = np.inf, -1, 0
+    history = []
+    ckpt_name = f"{cfg.net.checkpoint_name}_warping"
+    n_train = xs_tr.shape[0]
+    # minibatch of batch_size utterances per step (reference: one optimizer
+    # step per utterance per epoch, 02_freq_warping_neural.py:161-191)
+    mb = max(1, cfg.net.batch_size)
+    rng = np.random.default_rng(seed + 1)
+    with Timer("train") as t_total:
+        for epoch in range(cfg.net.nb_epoch):
+            order = rng.permutation(n_train)
+            tr_loss = 0.0
+            for s in range(0, n_train, mb):
+                sel = jnp.asarray(order[s : s + mb])
+                params, opt_state, loss = _update(
+                    params, opt_state, xs_tr[sel], ys_tr[sel], m_tr[sel], optimizer
+                )
+                tr_loss += float(loss)
+            te_loss = float(_eval_loss(params, xs_te, ys_te, m_te))
+            per_frame = te_loss / max(float(m_te.sum()), 1.0)
+            history.append({"epoch": epoch, "train_loss": float(tr_loss),
+                            "test_loss": te_loss, "test_l1_per_frame": per_frame})
+            log.info("epoch %d: train %.1f test %.1f (%.4f/frame)",
+                     epoch, float(tr_loss), te_loss, per_frame)
+            if te_loss < best_loss:   # best-loss checkpointing (ref :222-235)
+                best_loss, best_epoch, stale = te_loss, epoch, 0
+                save_params(store, ckpt_name, params)
+            else:
+                stale += 1
+                if stale >= cfg.net.patience:  # early stop (ref :238-240)
+                    log.info("early stop at epoch %d (patience %d)",
+                             epoch, cfg.net.patience)
+                    break
+
+    return {
+        "epochs_run": len(history),
+        "best_epoch": best_epoch,
+        "best_test_loss": float(best_loss),
+        "final_test_l1_per_frame": history[-1]["test_l1_per_frame"],
+        "train_seconds": t_total.elapsed,
+        "checkpoint": ckpt_name,
+        "history": history,
+    }
+
+
+def apply_warping_net(store: ArtifactStore, cfg: Config, feats: jnp.ndarray) -> jnp.ndarray:
+    """Inference path (the reference's unfinished ``02_test_freq_warping_neural``):
+    load the best checkpoint and warp a batch of feature sequences."""
+    net_cfg = WarpingNetConfig(
+        in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
+        out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
+    )
+    like = init_warping_params(jax.random.PRNGKey(0), net_cfg)
+    params = load_params(store, f"{cfg.net.checkpoint_name}_warping", like)
+    return warping_forward_batch(params, feats)

@@ -1,0 +1,123 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplars_vc_tpu.config import load_config
+from exemplars_vc_tpu.io import ArtifactStore
+from exemplars_vc_tpu.models import (
+    WarpingNetConfig,
+    init_warping_params,
+    warping_forward,
+    warping_forward_batch,
+)
+
+DATA = "/root/reference/data"
+
+
+def test_forward_shapes():
+    cfg = WarpingNetConfig()
+    params = init_warping_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.ones((37, 20))
+    y = warping_forward(params, x)
+    assert y.shape == (37, 20)
+    xb = jnp.ones((3, 37, 20))
+    yb = warping_forward_batch(params, xb)
+    assert yb.shape == (3, 37, 20)
+    np.testing.assert_allclose(np.asarray(yb[0]), np.asarray(y), atol=1e-6)
+
+
+def test_forward_deep_head():
+    cfg = WarpingNetConfig(deep_head=True, fc_neurons=64)
+    params = init_warping_params(jax.random.PRNGKey(1), cfg)
+    y = warping_forward(params, jnp.ones((5, 20)))
+    assert y.shape == (5, 20)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_lstm_state_propagates():
+    # output at t>0 must depend on earlier inputs (recurrence works)
+    cfg = WarpingNetConfig(nb_lstm_layers=1)
+    params = init_warping_params(jax.random.PRNGKey(2), cfg)
+    x1 = jnp.zeros((10, 20)).at[0].set(1.0)
+    x2 = jnp.zeros((10, 20))
+    y1 = warping_forward(params, x1)
+    y2 = warping_forward(params, x2)
+    assert float(jnp.abs(y1[5] - y2[5]).max()) > 1e-6
+
+
+def test_net_can_learn_identity():
+    import optax
+
+    cfg = WarpingNetConfig(in_size=4, hidden_size=16, out_size=4)
+    params = init_warping_params(jax.random.PRNGKey(3), cfg)
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 30, 4)), jnp.float32)
+
+    @jax.jit
+    def step(params, state, x):
+        def loss_fn(p):
+            return jnp.mean((warping_forward_batch(p, x) - x) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, state2 = opt.update(g, state, params)
+        return optax.apply_updates(params, up), state2, loss
+
+    losses = []
+    for _ in range(150):
+        params, state, loss = step(params, state, x)
+        losses.append(float(loss))
+    assert losses[-1] < 0.25 * losses[0]
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(DATA, "SF1")), reason="no data")
+def test_train_warping_net_end_to_end(tmp_path):
+    from exemplars_vc_tpu.models.train import apply_warping_net, train_warping_net
+
+    cfg = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=3", "net.nb_epoch=5", "net.patience=30",
+    ])
+    store = ArtifactStore(str(tmp_path))
+    metrics = train_warping_net(cfg, store, DATA, nb_file=3)
+    assert metrics["epochs_run"] == 5
+    assert np.isfinite(metrics["best_test_loss"])
+    assert store.has("checkpoint_warping")
+    # losses should improve over training
+    h = metrics["history"]
+    assert h[-1]["test_loss"] <= h[0]["test_loss"]
+    # inference path
+    out = apply_warping_net(store, cfg, jnp.ones((2, 40, 20)))
+    assert out.shape == (2, 40, 20)
+
+
+def test_freq_warp_amf_and_dfw():
+    from exemplars_vc_tpu.pipelines.freq_warp import (
+        amf_warping,
+        apply_warping,
+        dfw_warping,
+        warping_curve_from_path,
+    )
+
+    rng = np.random.default_rng(5)
+    t = np.arange(400) / 16000
+    src = np.stack([np.sin(2 * np.pi * 500 * t), np.sin(2 * np.pi * 700 * t)]).astype(np.float32)
+    tar = np.stack([np.sin(2 * np.pi * 650 * t), np.sin(2 * np.pi * 900 * t)]).astype(np.float32)
+    anchors = amf_warping(jnp.asarray(src), jnp.asarray(tar), order=8)
+    assert anchors.shape == (2, 2, 10)
+    a = np.asarray(anchors)
+    assert (np.diff(a[0, 0]) >= -1e-6).all()  # monotone anchor frequencies
+
+    spec = jnp.asarray(np.abs(rng.standard_normal(129)), jnp.float32)
+    warped = apply_warping(spec, anchors[0])
+    assert warped.shape == spec.shape
+    assert bool(jnp.isfinite(warped).all())
+
+    s_spec = np.abs(rng.standard_normal((3, 65))).astype(np.float32) + 0.1
+    pi, pj = dfw_warping(jnp.asarray(s_spec), jnp.asarray(s_spec))
+    curve = warping_curve_from_path(pi[0], pj[0], 65)
+    # identical spectra → identity warping
+    np.testing.assert_allclose(curve, np.arange(65), atol=1e-6)
