@@ -1,0 +1,203 @@
+"""F0 estimation and refinement in JAX — the dio/stonemask stage.
+
+Replaces ``pw.dio``/``pw.harvest`` + ``pw.stonemask`` (WORLD C++, used at
+reference ``03_a_b_r_parallel.py:85-92``, ``04_align_n_nmf.py:404-408``).
+
+TPU-first reformulation (functional equivalent, not a C port):
+
+- Candidate stage (dio's role): normalized autocorrelation per frame, computed
+  for ALL frames at once via batched rFFT (numerator) + cumulative energies
+  (denominators); peak picking restricted to [sr/f0_ceil, sr/f0_floor] with
+  parabolic interpolation. Voicing = peak NCC above threshold + energy gate.
+- Track cleaning: 5-tap median filter + isolated-voiced removal, as fixed-size
+  vector ops.
+- Refinement stage (stonemask's role): per voiced frame, evaluate windowed
+  DFTs on a ±6% frequency grid around the candidate (one complex matmul for
+  all frames × candidates), pick the spectral peak, parabolic-refine, and
+  average over harmonics 1-2 weighted by magnitude.
+
+Everything is fixed-shape and jitted; unvoiced frames carry f0=0 exactly like
+WORLD's convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _frame_centers(n_samples: int, sr: int, frame_period_ms: float) -> np.ndarray:
+    hop = int(round(sr * frame_period_ms / 1000.0))
+    n_frames = n_samples // hop + 1
+    return np.arange(n_frames) * hop
+
+
+def _extract_segments(x: jnp.ndarray, centers: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Segments of ``length`` centered at each position (edge-padded)."""
+    pad = length // 2
+    xp = jnp.pad(x, (pad, pad), mode="edge")
+    idx = centers[:, None] + jnp.arange(length)[None, :]
+    return xp[idx]
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len"))
+def _ncc_candidates(
+    x: jnp.ndarray,
+    sr: int,
+    frame_period_ms: float,
+    f0_floor: float,
+    f0_ceil: float,
+    seg_len: int,
+):
+    n_frames = x.shape[0] // int(round(sr * frame_period_ms / 1000.0)) + 1
+    hop = int(round(sr * frame_period_ms / 1000.0))
+    centers = jnp.arange(n_frames) * hop
+    seg = _extract_segments(x, centers, seg_len)          # (F, L)
+    seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
+
+    n_fft = 2 * seg_len
+    spec = jnp.fft.rfft(seg, n=n_fft, axis=-1)
+    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)[:, :seg_len]  # (F, L)
+
+    # normalized: r[tau] = ac[tau] / sqrt(e0[tau] * e1[tau]) with
+    # e0 = sum_{t<L-tau} x_t^2, e1 = sum_{t>=tau} x_t^2
+    sq = seg * seg
+    csum = jnp.cumsum(sq, axis=-1)
+    total = csum[:, -1:]
+    tau = jnp.arange(seg_len)
+    e0 = jnp.take_along_axis(
+        jnp.pad(csum, ((0, 0), (1, 0))), (seg_len - tau)[None, :].repeat(seg.shape[0], 0), axis=-1
+    )
+    e1 = total - jnp.take_along_axis(
+        jnp.pad(csum, ((0, 0), (1, 0))), tau[None, :].repeat(seg.shape[0], 0), axis=-1
+    )
+    denom = jnp.sqrt(jnp.maximum(e0 * e1, 1e-12))
+    ncc = ac / denom
+
+    lag_min = jnp.int32(jnp.floor(sr / f0_ceil))
+    lag_max = jnp.int32(jnp.ceil(sr / f0_floor))
+    valid = (tau >= lag_min) & (tau <= jnp.minimum(lag_max, seg_len - 2))
+    ncc_masked = jnp.where(valid[None, :], ncc, -1.0)
+
+    # subharmonic disambiguation: a periodic signal has near-equal NCC peaks
+    # at every multiple of the true period — take the SMALLEST-lag local
+    # maximum within 10% of the global maximum, not the global argmax.
+    global_max = jnp.max(ncc_masked, axis=-1, keepdims=True)
+    is_local_max = (
+        (ncc_masked >= jnp.pad(ncc_masked, ((0, 0), (1, 0)))[:, :-1])
+        & (ncc_masked >= jnp.pad(ncc_masked, ((0, 0), (0, 1)))[:, 1:])
+    )
+    good = is_local_max & (ncc_masked >= 0.90 * global_max) & (global_max > 0)
+    # prefer smallest tau among good candidates
+    pref = jnp.where(good, (seg_len - tau)[None, :], -1)
+    peak_lag = jnp.argmax(pref, axis=-1)                  # (F,)
+    # frames with no good candidate fall back to the global argmax
+    no_cand = jnp.max(pref, axis=-1) < 0
+    peak_lag = jnp.where(no_cand, jnp.argmax(ncc_masked, axis=-1), peak_lag)
+    peak_val = jnp.take_along_axis(ncc_masked, peak_lag[:, None], axis=-1)[:, 0]
+
+    # parabolic interpolation around the integer peak
+    lm1 = jnp.take_along_axis(ncc, jnp.maximum(peak_lag - 1, 0)[:, None], axis=-1)[:, 0]
+    lp1 = jnp.take_along_axis(ncc, jnp.minimum(peak_lag + 1, seg_len - 1)[:, None], axis=-1)[:, 0]
+    denom2 = lm1 - 2.0 * peak_val + lp1
+    delta = jnp.where(jnp.abs(denom2) > 1e-9, 0.5 * (lm1 - lp1) / denom2, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    lag = peak_lag.astype(jnp.float32) + delta
+
+    energy = total[:, 0]
+    f0 = sr / jnp.maximum(lag, 1.0)
+    return f0, peak_val, energy
+
+
+def _median5(x: jnp.ndarray) -> jnp.ndarray:
+    xp = jnp.pad(x, (2, 2), mode="edge")
+    stack = jnp.stack([xp[i : i + x.shape[0]] for i in range(5)])
+    return jnp.median(stack, axis=0)
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len"))
+def estimate_f0(
+    x: jnp.ndarray,
+    sr: int = 16000,
+    frame_period_ms: float = 5.0,
+    f0_floor: float = 71.0,
+    f0_ceil: float = 800.0,
+    voicing_threshold: float = 0.45,
+    seg_len: int = 512,
+):
+    """Estimate the f0 contour. Returns (f0 (n_frames,), voiced mask).
+
+    n_frames = len(x)//hop + 1, matching WORLD's frame count convention."""
+    f0, ncc, energy = _ncc_candidates(
+        x, sr, frame_period_ms, f0_floor, f0_ceil, seg_len
+    )
+    energy_gate = energy > 1e-6 * jnp.maximum(jnp.max(energy), 1e-12)
+    voiced = (ncc > voicing_threshold) & energy_gate
+
+    # median-smooth the contour over voiced runs; remove isolated voicing
+    v = voiced.astype(jnp.float32)
+    neighbors = jnp.pad(v, (1, 1))[:-2] + jnp.pad(v, (1, 1))[2:]
+    voiced = voiced & (neighbors > 0)
+
+    f0_smooth = _median5(jnp.where(voiced, f0, 0.0))
+    f0_out = jnp.where(voiced & (f0_smooth > 0), f0_smooth, 0.0)
+    f0_out = jnp.where(
+        (f0_out >= f0_floor) & (f0_out <= f0_ceil), f0_out, 0.0
+    )
+    return f0_out, f0_out > 0
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len", "n_cand"))
+def refine_f0_stonemask(
+    x: jnp.ndarray,
+    f0: jnp.ndarray,
+    sr: int = 16000,
+    frame_period_ms: float = 5.0,
+    seg_len: int = 512,
+    n_cand: int = 25,
+    span: float = 0.06,
+):
+    """Refine an f0 contour by windowed-DFT peak picking around each estimate
+    (the role of ``pw.stonemask``, reference ``04_align_n_nmf.py:405-408``).
+
+    One (F, L) × (L, n_cand) complex matmul per harmonic evaluates all frames
+    against their own candidate grids (frequencies enter via per-frame phase
+    ramps, so the matmul is einsum over a 3-D phase tensor)."""
+    hop = int(round(sr * frame_period_ms / 1000.0))
+    n_frames = f0.shape[0]
+    centers = jnp.arange(n_frames) * hop
+    seg = _extract_segments(x, centers, seg_len)
+    seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(seg_len) / (seg_len - 1))
+    segw = seg * w
+
+    f0_safe = jnp.where(f0 > 0, f0, 150.0)
+    grid = 1.0 + span * jnp.linspace(-1.0, 1.0, n_cand)     # relative grid
+    t = (jnp.arange(seg_len) - seg_len // 2) / sr           # (L,)
+
+    def harmonic_peak(h):
+        freqs = f0_safe[:, None] * grid[None, :] * h        # (F, C)
+        phase = 2.0 * jnp.pi * freqs[:, :, None] * t[None, None, :]
+        re = jnp.einsum("fl,fcl->fc", segw, jnp.cos(phase))
+        im = jnp.einsum("fl,fcl->fc", segw, jnp.sin(phase))
+        mag = re * re + im * im                             # (F, C)
+        k = jnp.argmax(mag, axis=-1)
+        m0 = jnp.take_along_axis(mag, k[:, None], -1)[:, 0]
+        mm = jnp.take_along_axis(mag, jnp.maximum(k - 1, 0)[:, None], -1)[:, 0]
+        mp = jnp.take_along_axis(mag, jnp.minimum(k + 1, n_cand - 1)[:, None], -1)[:, 0]
+        den = mm - 2.0 * m0 + mp
+        delta = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (mm - mp) / den, 0.0)
+        delta = jnp.clip(delta, -0.5, 0.5)
+        rel = jnp.take(grid, k) + delta * (grid[1] - grid[0])
+        # rel is the deviation of harmonic h relative to h·f0, so f0·rel is
+        # already a fundamental-frequency estimate
+        f_est = f0_safe * rel
+        return f_est, jnp.sqrt(jnp.maximum(m0, 0.0))
+
+    f1, w1 = harmonic_peak(1.0)
+    f2, w2 = harmonic_peak(2.0)
+    refined = (f1 * w1 + f2 * w2) / jnp.maximum(w1 + w2, 1e-12)
+    return jnp.where(f0 > 0, refined, 0.0)
