@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end exemplar VC throughput on one chip.
+
+Measures the full SF1→TF1 pipeline on the bundled VCC pairs — speaker load,
+alignment features, batched wavefront DTW dictionary build, conversion
+features, fixed-dictionary NMF (max_iter=150, tol=1e-4 — the reference's
+solver budget), conversion, and Griffin-Lim(300) synthesis — and reports
+**audio-seconds processed per wall second** (the BASELINE.json metric).
+
+Baseline derivation (BASELINE.md): the reference's committed logs show the
+dictionary build at ~75 s wall for 20 utterance pairs (~40 utts × ~3.5 s ≈
+140 audio-s → 1.87 audio-s/s) and cached-dict conversion + Griffin-Lim(300)
+at ~10 s for one ~3.5 s utterance (0.35 audio-s/s). Combined reference rate
+≈ (140 + 3.5) / (75 + 10) ≈ 1.69 audio-s/s on a multi-core host.
+
+Prints ONE JSON line to stdout; progress goes to stderr. Runs the pipeline
+twice with identical shapes: run 1 pays XLA compilation, run 2 is the
+steady-state measurement (production serving reuses compiled executables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REF_RATE_AUDIO_S_PER_S = 1.69
+DATA = os.environ.get("EVC_BENCH_DATA", "/root/reference/data")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_pipeline(cfg, store, wav_path):
+    from exemplars_vc_tpu.pipelines.convert import convert_utterance
+
+    res = convert_utterance(cfg, store, DATA, wav_path, nb_file=8)
+    return res
+
+
+def main():
+    import jax
+
+    from exemplars_vc_tpu.config import load_config
+    from exemplars_vc_tpu.io import ArtifactStore, read_wav
+    from exemplars_vc_tpu.io.store import list_speaker_wavs
+
+    t_start = time.time()
+    cfg = load_config(overrides=["data.tar=TF1", "misc.nb_file=8"])
+    wav_path = os.path.join(DATA, "SF1", "100001.wav")
+
+    # audio seconds the pipeline touches: both speakers' dictionaries + input
+    total_audio = 0.0
+    for spk in ("SF1", "TF1"):
+        for p in list_speaker_wavs(DATA, spk)[:8]:
+            x, sr = read_wav(p)
+            total_audio += len(x) / sr
+    x_in, sr = read_wav(wav_path)
+    total_audio += len(x_in) / sr
+
+    log(f"platform: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    log(f"audio to process: {total_audio:.1f} s")
+
+    # ---- run 1: cold (compiles everything) ---------------------------------
+    tmp1 = tempfile.mkdtemp(prefix="evc_bench1_")
+    t0 = time.time()
+    run_pipeline(cfg, ArtifactStore(tmp1), wav_path)
+    cold = time.time() - t0
+    shutil.rmtree(tmp1, ignore_errors=True)
+    log(f"cold run (incl. compile): {cold:.2f} s")
+
+    # ---- run 2: steady state ----------------------------------------------
+    tmp2 = tempfile.mkdtemp(prefix="evc_bench2_")
+    t0 = time.time()
+    res = run_pipeline(cfg, ArtifactStore(tmp2), wav_path)
+    hot = time.time() - t0
+    shutil.rmtree(tmp2, ignore_errors=True)
+    log(f"steady-state run: {hot:.2f} s  stage timings: {res.timings}")
+
+    rate = total_audio / hot
+    print(json.dumps({
+        "metric": "audio-seconds/s per chip (dict build + NMF convert + GL300)",
+        "value": round(rate, 3),
+        "unit": "audio_s/s",
+        "vs_baseline": round(rate / REF_RATE_AUDIO_S_PER_S, 3),
+        "detail": {
+            "steady_state_s": round(hot, 3),
+            "cold_s": round(cold, 3),
+            "audio_s": round(total_audio, 2),
+            "stages_s": {k: round(v, 3) for k, v in res.timings.items()},
+            "platform": jax.devices()[0].platform,
+            "total_wall_s": round(time.time() - t_start, 1),
+        },
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from exemplars_vc_tpu.dsp import fft as _fft
+
 
 @partial(jax.jit, static_argnames=("order",))
 def lpc(frames: jnp.ndarray, order: int = 20) -> jnp.ndarray:
@@ -26,8 +28,8 @@ def lpc(frames: jnp.ndarray, order: int = 20) -> jnp.ndarray:
     n_fft = 1
     while n_fft < 2 * n:
         n_fft *= 2
-    spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
-    r = jnp.fft.irfft(spec, n=n_fft, axis=-1)[..., : order + 1]
+    spec = _fft.rfft_magsq(frames, n=n_fft)
+    r = _fft.irfft(spec, n=n_fft)[..., : order + 1]
     r0 = jnp.maximum(r[..., :1], 1e-12)
     r = r / r0  # normalized autocorrelation; gain restored at the end
 

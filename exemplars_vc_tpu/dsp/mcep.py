@@ -22,6 +22,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from exemplars_vc_tpu.dsp import fft as _fft
 import numpy as np
 
 
@@ -89,7 +91,7 @@ def mcep_frames(
 
     The caller applies the analysis window (the reference multiplies frames by
     ``pysptk.blackman(400)`` before calling mcep)."""
-    spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
+    spec = _fft.rfft_magsq(frames, n=n_fft)
     floor = eps * jnp.max(spec, axis=-1, keepdims=True) + 1e-30
     return mcep_from_log_periodogram(
         jnp.log(jnp.maximum(spec, floor)), order=order, alpha=alpha, n_iter=n_iter

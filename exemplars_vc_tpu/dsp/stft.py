@@ -20,6 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from exemplars_vc_tpu.dsp import fft as _fft
+
 from exemplars_vc_tpu.dsp.windows import get_window
 
 
@@ -58,7 +60,7 @@ def stft(
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
     frames = frame_signal(x, n_fft, hop_length)
-    return jnp.fft.rfft(frames * w, n=n_fft, axis=-1)
+    return _fft.rfft(frames * w, n=n_fft)
 
 
 def stft_magnitude(x: jnp.ndarray, **kw) -> jnp.ndarray:
@@ -81,7 +83,7 @@ def istft(
 
     spec: (n_frames, n_fft//2+1) complex, frames-major."""
     w = get_window(window, n_fft, periodic=True, dtype=jnp.float32)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32) * w
+    frames = _fft.irfft(spec, n=n_fft).astype(jnp.float32) * w
 
     n_frames = spec.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)

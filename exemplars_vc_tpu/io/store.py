@@ -81,6 +81,19 @@ def load_speaker(
     return sigs, int(sr)
 
 
+def bucketed_signal(sig: np.ndarray, hop_length: int, frame_bucket: int = 128):
+    """Zero-pad a signal so its centered-STFT frame count lands on a bucket
+    boundary: with n_frames = 1 + len//hop, pad len to a multiple of
+    hop·frame_bucket. Caps the number of distinct jit shapes (≈ one compile
+    per bucket instead of one per utterance — critical on TPU where each
+    compile is tens of seconds). Returns (padded signal, true_frames)."""
+    step = hop_length * frame_bucket
+    n = len(sig)
+    target = ((n + step - 1) // step) * step if n else step
+    true_frames = 1 + n // hop_length
+    return np.pad(sig, (0, target - n)), true_frames
+
+
 def pad_to_bucket(x: np.ndarray, bucket: int, axis: int = 0) -> tuple[np.ndarray, int]:
     """Pad ``axis`` up to the next multiple of ``bucket``; return (padded, true_len)."""
     n = x.shape[axis]

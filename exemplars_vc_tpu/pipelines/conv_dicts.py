@@ -28,10 +28,13 @@ class ConversionFeatures:
 
 
 def extract_stft_features(sig: np.ndarray, cfg: Config) -> np.ndarray:
+    from exemplars_vc_tpu.io.store import bucketed_signal
+
     m = cfg.mcep
-    S = stft(jnp.asarray(sig, jnp.float32), n_fft=m.frame_length, hop_length=m.hop_length,
-             window=m.window)
-    return np.abs(np.asarray(S))
+    padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
+    S = stft(jnp.asarray(padded, jnp.float32), n_fft=m.frame_length,
+             hop_length=m.hop_length, window=m.window)
+    return np.abs(np.asarray(S))[:true_frames]
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:

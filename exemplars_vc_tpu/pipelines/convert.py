@@ -26,7 +26,7 @@ import numpy as np
 
 from exemplars_vc_tpu.align.exemplar import build_exemplar_dicts
 from exemplars_vc_tpu.config import Config
-from exemplars_vc_tpu.dsp import griffin_lim, stft
+from exemplars_vc_tpu.dsp import griffin_lim
 from exemplars_vc_tpu.factorize import (
     convert_features,
     nmf_activations,
@@ -90,9 +90,9 @@ def convert_utterance(
 
     with Timer("features") as t:
         if kind == "stft":
-            feats_in = {"stft": np.abs(np.asarray(
-                stft(jnp.asarray(x, jnp.float32), n_fft=m.frame_length,
-                     hop_length=m.hop_length, window=m.window)))}
+            from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
+
+            feats_in = {"stft": extract_stft_features(x, cfg)}
         else:
             from exemplars_vc_tpu.pipelines.conv_dicts import extract_world_features
 

@@ -25,6 +25,7 @@ from exemplars_vc_tpu.config import Config
 from exemplars_vc_tpu.align import dtw_batch
 from exemplars_vc_tpu.dsp import mcep, mfcc
 from exemplars_vc_tpu.io import ArtifactStore, load_speaker, stack_ragged
+from exemplars_vc_tpu.io.store import bucketed_signal
 from exemplars_vc_tpu.obs import Timer, get_logger
 
 
@@ -41,18 +42,20 @@ class DictionaryArtifacts:
 
 
 def _extract(sig: np.ndarray, cfg: Config, feat: str) -> np.ndarray:
-    x = jnp.asarray(sig, dtype=jnp.float32)
     m = cfg.mcep
+    # bucket the signal length so jit shapes repeat across utterances
+    padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
+    x = jnp.asarray(padded, dtype=jnp.float32)
     if feat == "mfcc":
-        return np.asarray(
-            mfcc(x, sr=cfg.data.sr, n_fft=m.frame_length, hop_length=m.hop_length,
-                 n_mfcc=m.n_mfcc, n_mels=m.n_mels)
-        )
+        out = mfcc(x, sr=cfg.data.sr, n_fft=m.frame_length, hop_length=m.hop_length,
+                   n_mfcc=m.n_mfcc, n_mels=m.n_mels)
+        return np.asarray(out)[:true_frames]
     if feat in ("mcep", "mcc"):
-        return np.asarray(
-            mcep(x, frame_length=m.frame_length, hop_length=m.hop_length,
-                 order=m.order, alpha=m.alpha)
-        )
+        out = mcep(x, frame_length=m.frame_length, hop_length=m.hop_length,
+                   order=m.order, alpha=m.alpha)
+        # mcep uses uncentered framing: (len - frame)//hop + 1 frames
+        n = (len(sig) - m.frame_length) // m.hop_length + 1
+        return np.asarray(out)[:n]
     raise ValueError(f"unsupported alignment feature {feat!r}")
 
 

@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from exemplars_vc_tpu.dsp import fft as _fft
+
 
 DEFAULT_F0 = 500.0   # WORLD's kDefaultF0 for unvoiced frames
 Q1 = -0.15           # CheapTrick lifter coefficient
@@ -96,7 +98,7 @@ def cheaptrick(
     f0_safe = jnp.maximum(f0_safe, f0_floor)
 
     seg = _windowed_segments(x, centers, f0_safe, sr, max_win)
-    spec = jnp.abs(jnp.fft.rfft(seg, n=fft_size, axis=-1)) ** 2   # (F, B)
+    spec = _fft.rfft_magsq(seg, n=fft_size)   # (F, B)
     B = spec.shape[-1]
 
     # stage 2: rectangular smoothing, width 2f0/3 in Hz → bins
@@ -115,9 +117,9 @@ def cheaptrick(
     arg = jnp.pi * f0_safe[:, None] * tau
     lifter_smooth = jnp.where(arg > 1e-6, jnp.sin(arg) / jnp.maximum(arg, 1e-6), 1.0)
     lifter_q = (1.0 - 2.0 * Q1) + 2.0 * Q1 * jnp.cos(2.0 * jnp.pi * f0_safe[:, None] * tau)
-    log_env = jnp.fft.irfft(
-        jnp.fft.rfft(full, axis=-1) * (lifter_smooth * lifter_q),
-        n=full.shape[-1], axis=-1,
+    log_env = _fft.irfft(
+        _fft.rfft(full) * (lifter_smooth * lifter_q).astype(jnp.complex64),
+        n=full.shape[-1],
     )[:, :B]
     # keep exp() away from float32 under/overflow
     return jnp.exp(jnp.clip(log_env, -80.0, 80.0))

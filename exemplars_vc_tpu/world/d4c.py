@@ -18,6 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from exemplars_vc_tpu.dsp import fft as _fft
+
 from exemplars_vc_tpu.world.cheaptrick import _windowed_segments
 
 AP_FLOOR = 0.001
@@ -40,7 +42,7 @@ def d4c_aperiodicity(
     # clamp so the 8-period window fits the internal buffer
     f0_win = jnp.maximum(f0_safe, _PERIODS * sr / internal_fft)
     seg = _windowed_segments(x, centers, f0_win, sr, internal_fft, periods=_PERIODS)
-    power = jnp.abs(jnp.fft.rfft(seg, n=internal_fft, axis=-1)) ** 2   # (F, Bi)
+    power = _fft.rfft_magsq(seg, n=internal_fft)   # (F, Bi)
     Bi = power.shape[-1]
     bin_hz = sr / internal_fft
     freqs = jnp.arange(Bi) * bin_hz                                    # (Bi,)

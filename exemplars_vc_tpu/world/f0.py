@@ -26,6 +26,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from exemplars_vc_tpu.dsp import fft as _fft
 import numpy as np
 
 
@@ -59,8 +61,8 @@ def _ncc_candidates(
     seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
 
     n_fft = 2 * seg_len
-    spec = jnp.fft.rfft(seg, n=n_fft, axis=-1)
-    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)[:, :seg_len]  # (F, L)
+    magsq = _fft.rfft_magsq(seg, n=n_fft)
+    ac = _fft.irfft(magsq, n=n_fft)[:, :seg_len]  # (F, L)
 
     # normalized: r[tau] = ac[tau] / sqrt(e0[tau] * e1[tau]) with
     # e0 = sum_{t<L-tau} x_t^2, e1 = sum_{t>=tau} x_t^2
