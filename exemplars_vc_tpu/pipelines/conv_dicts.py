@@ -34,7 +34,8 @@ def extract_stft_features(sig: np.ndarray, cfg: Config) -> np.ndarray:
     padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
     S = stft(jnp.asarray(padded, jnp.float32), n_fft=m.frame_length,
              hop_length=m.hop_length, window=m.window)
-    return np.abs(np.asarray(S))[:true_frames]
+    # take |.| on device: the axon TPU cannot transfer complex64 to host
+    return np.asarray(jnp.abs(S))[:true_frames]
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
