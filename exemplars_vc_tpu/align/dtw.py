@@ -170,16 +170,49 @@ def dtw(
     return DtwResult(raw / (la + lb).astype(jnp.float32), raw, path_i, path_j, path_len)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("backend",))
 def dtw_batch(
     feats_a: jnp.ndarray,
     feats_b: jnp.ndarray,
     lens_a: jnp.ndarray,
     lens_b: jnp.ndarray,
+    backend: str = "auto",
 ) -> DtwResult:
     """Batched alignment: (N, Ta, D) vs (N, Tb, D) with true lengths.
 
     The whole dictionary build that the reference fans out over worker
     processes (``01_make_dict_parallel.py:242-245``) becomes one vmapped,
-    jitted call — shard the leading axis over a mesh for multi-chip."""
-    return jax.vmap(dtw)(feats_a, feats_b, lens_a, lens_b)
+    jitted call — shard the leading axis over a mesh for multi-chip.
+
+    backend: "scan" (portable lax.scan wavefront), "pallas" (single-program
+    VMEM-resident Mosaic kernel), or "auto". Measured on TPU v5e (8 pairs,
+    ~850 frames): both run the DP in ~0.04 s steady-state (the remainder is
+    cost-matrix + backtrace work), but the Pallas kernel costs ~180 s of
+    Mosaic compile through this environment's remote-compile tunnel vs ~145 s
+    for the scan — so "auto" currently resolves to scan; pallas stays an
+    explicit opt-in and the kernel of record for larger wavefronts."""
+    ta, tb = feats_a.shape[1], feats_b.shape[1]
+    use_pallas = backend == "pallas"
+
+    if not use_pallas:
+        return jax.vmap(dtw)(feats_a, feats_b, lens_a, lens_b)
+
+    from exemplars_vc_tpu.align.dtw_pallas import dtw_wavefront_pallas
+
+    def skewed(fa, fb, la, lb):
+        C = pairwise_sqdist(fa.astype(jnp.float32), fb.astype(jnp.float32))
+        valid = (jnp.arange(ta)[:, None] < la) & (jnp.arange(tb)[None, :] < lb)
+        return _skew(jnp.where(valid, C, BIG))
+
+    sk = jax.vmap(skewed)(feats_a, feats_b, lens_a, lens_b)
+    lens = jnp.stack([lens_a.astype(jnp.int32), lens_b.astype(jnp.int32)], axis=1)
+    raw, dirs = dtw_wavefront_pallas(sk, lens)
+
+    def trace(dirs_i, la, lb):
+        return _backtrace(dirs_i, la, lb, ta + tb - 1)
+
+    path_i, path_j, path_len = jax.vmap(trace)(
+        dirs, lens_a.astype(jnp.int32), lens_b.astype(jnp.int32)
+    )
+    dist = raw / (lens_a + lens_b).astype(jnp.float32)
+    return DtwResult(dist, raw, path_i, path_j, path_len)

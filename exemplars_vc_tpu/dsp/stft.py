@@ -31,8 +31,18 @@ def n_frames_centered(n_samples: int, hop_length: int) -> int:
 
 @partial(jax.jit, static_argnames=("frame_length", "hop_length"))
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """(T,) -> (n_frames, frame_length), no padding (librosa.util.frame)."""
+    """(T,) -> (n_frames, frame_length), no padding (librosa.util.frame).
+
+    When hop divides the frame length (the 400/80 default), framing is pure
+    reshape + static slices — no gather op, which matters on TPU where big
+    gathers serialize."""
     n = (x.shape[-1] - frame_length) // hop_length + 1
+    if frame_length % hop_length == 0 and x.ndim == 1:
+        r = frame_length // hop_length
+        n_chunks = x.shape[-1] // hop_length
+        chunks = x[: n_chunks * hop_length].reshape(n_chunks, hop_length)
+        parts = [chunks[k : k + n] for k in range(r)]   # static slices
+        return jnp.stack(parts, axis=1).reshape(n, frame_length)
     idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
     return x[..., idx]
 
@@ -87,12 +97,30 @@ def istft(
 
     n_frames = spec.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
-    idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
 
-    y = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(frames.reshape(-1))
-    wsum = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(
-        jnp.tile(w * w, (n_frames,))
-    )
+    if n_fft % hop_length == 0:
+        # scatter-free overlap-add: split each frame into r hop-chunks and
+        # accumulate r statically-shifted reshapes (TPU scatters serialize)
+        r = n_fft // hop_length
+        chunks = frames.reshape(n_frames, r, hop_length)
+        acc = jnp.zeros((n_frames + r - 1, hop_length), dtype=frames.dtype)
+        wacc = jnp.zeros((n_frames + r - 1, hop_length), dtype=frames.dtype)
+        w2 = (w * w).reshape(r, hop_length)
+        for k in range(r):
+            acc = acc.at[k : k + n_frames].add(chunks[:, k])
+            wacc = wacc.at[k : k + n_frames].add(
+                jnp.broadcast_to(w2[k], (n_frames, hop_length))
+            )
+        y = acc.reshape(-1)[:out_len]
+        wsum = wacc.reshape(-1)[:out_len]
+    else:
+        idx = (
+            jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+        ).reshape(-1)
+        y = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(frames.reshape(-1))
+        wsum = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(
+            jnp.tile(w * w, (n_frames,))
+        )
     y = y / jnp.maximum(wsum, 1e-8)
 
     if center:

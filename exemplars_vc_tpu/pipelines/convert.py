@@ -30,8 +30,11 @@ from exemplars_vc_tpu.dsp import griffin_lim
 from exemplars_vc_tpu.factorize import (
     convert_features,
     nmf_activations,
+    nnls_activations,
+    qr_activations,
     residual_compensation,
 )
+from exemplars_vc_tpu.factorize.nmf import NmfState
 from exemplars_vc_tpu.io import ArtifactStore, read_wav, write_wav
 from exemplars_vc_tpu.obs import Timer, get_logger
 from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
@@ -46,6 +49,33 @@ class ConversionResult:
     n_iter: int
     nmf_error: float
     timings: dict[str, float] = field(default_factory=dict)
+
+
+def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
+    """Dispatch to the configured activation solver.
+
+    nmf.solver: 'mu' (sklearn-parity multiplicative updates), 'mu_pallas'
+    (same math, Pallas-fused kernels), 'cd'/'nnls' (FISTA NNLS at the
+    reference cd budget of 200 iters), 'qr' (unconstrained least squares —
+    the reference's unfinished QRMF variant, 04_align_n_qrmf.py)."""
+    solver = cfg.nmf.solver
+    if solver == "mu":
+        return nmf_activations(X, A, beta_loss=cfg.nmf.beta_loss,
+                               tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter)
+    if solver == "mu_pallas":
+        from exemplars_vc_tpu.factorize.nmf_pallas import nmf_activations_pallas
+
+        return nmf_activations_pallas(X, A, tol=cfg.nmf.tol,
+                                      max_iter=cfg.nmf.max_iter)
+    if solver in ("cd", "nnls"):
+        H = nnls_activations(X, A, n_iter=max(cfg.nmf.max_iter, 200))
+        err = jnp.linalg.norm(X - H @ A)
+        return NmfState(H, jnp.int32(max(cfg.nmf.max_iter, 200)), err)
+    if solver in ("qr", "qrmf"):
+        H = jnp.maximum(qr_activations(X, A), 0.0)
+        err = jnp.linalg.norm(X - H @ A)
+        return NmfState(H, jnp.int32(1), err)
+    raise ValueError(f"unknown nmf solver {solver!r}")
 
 
 def _aligned_dicts(cfg, store, data_path, nb_file):
@@ -107,10 +137,7 @@ def convert_utterance(
             Xj = jnp.asarray(X, jnp.float32)
             Aj = jnp.asarray(A, jnp.float32)
             Bj = jnp.asarray(B, jnp.float32)
-            st = nmf_activations(
-                Xj, Aj, beta_loss=cfg.nmf.beta_loss,
-                tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter,
-            )
+            st = _solve_activations(Xj, Aj, cfg)
             R = (
                 residual_compensation(Xj, st.H, Aj, mode=cfg.nmf.residual_mode)
                 if use_residual else None
