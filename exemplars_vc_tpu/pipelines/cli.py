@@ -81,10 +81,12 @@ def cmd_convert(args):
     res = convert_utterance(
         cfg, store, args.data, args.wav, out_path=args.out,
         nb_file=args.nb_file, synth_iters=args.synth_iters,
+        reference_wav=args.ref_wav,
     )
     print(json.dumps({
         "out": args.out, "sr": res.sr, "samples": int(res.audio.shape[0]),
         "nmf_iters": res.n_iter, "nmf_error": res.nmf_error,
+        "mcd_vs_reference": res.mcd_vs_reference,
         "timings": {k: round(v, 3) for k, v in res.timings.items()},
     }))
 
@@ -129,6 +131,8 @@ def main(argv=None):
     p.add_argument("--wav", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--synth-iters", type=int, default=None)
+    p.add_argument("--ref-wav", default=None,
+                   help="ground-truth target utterance; reports DTW-aligned MCD")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("demo", help="stage 05: single-utterance demo conversion")

@@ -38,6 +38,25 @@ def extract_stft_features(sig: np.ndarray, cfg: Config) -> np.ndarray:
     return np.asarray(jnp.abs(S))[:true_frames]
 
 
+def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.ndarray]:
+    """All utterances in one vmapped |STFT| call (one jit shape, one dispatch)."""
+    import jax
+
+    m = cfg.mcep
+    step = m.hop_length * cfg.data.frame_bucket
+    max_len = max(len(s) for s in sigs)
+    target = ((max_len + step - 1) // step) * step
+    batch = np.zeros((len(sigs), target), dtype=np.float32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    mags = jax.vmap(
+        lambda x: jnp.abs(stft(x, n_fft=m.frame_length, hop_length=m.hop_length,
+                               window=m.window))
+    )(jnp.asarray(batch))
+    host = np.asarray(mags)
+    return [host[i, : 1 + len(s) // m.hop_length] for i, s in enumerate(sigs)]
+
+
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
     from exemplars_vc_tpu.world import analyze
 
@@ -73,7 +92,7 @@ def build_conversion_dicts(
     sigs, _ = load_speaker(data_path, speaker, nb_file=nb)
     with Timer("conv-features") as t:
         if kind == "stft":
-            mags = [extract_stft_features(s, cfg) for s in sigs]
+            mags = extract_stft_features_batch(sigs, cfg)
             stacked, lens = stack_ragged(mags, bucket=cfg.data.frame_bucket)
             feats = {"stft": stacked}
         else:

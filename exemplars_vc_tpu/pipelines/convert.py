@@ -49,6 +49,22 @@ class ConversionResult:
     n_iter: int
     nmf_error: float
     timings: dict[str, float] = field(default_factory=dict)
+    mcd_vs_reference: float | None = None
+
+
+def mcd_between_signals(a: np.ndarray, b: np.ndarray, cfg: Config) -> float:
+    """DTW-aligned mel-cepstral distortion (dB) between two waveforms — the
+    BASELINE quality metric (the reference itself has no objective metric;
+    its eval is listening to ``wav/`` outputs, SURVEY §4)."""
+    from exemplars_vc_tpu.dsp import mcep
+    from exemplars_vc_tpu.obs import mcd_aligned
+
+    m = cfg.mcep
+    ca = mcep(jnp.asarray(a, jnp.float32), frame_length=m.frame_length,
+              hop_length=m.hop_length, order=m.order, alpha=m.alpha)
+    cb = mcep(jnp.asarray(b, jnp.float32), frame_length=m.frame_length,
+              hop_length=m.hop_length, order=m.order, alpha=m.alpha)
+    return float(mcd_aligned(ca, cb))
 
 
 def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
@@ -104,6 +120,7 @@ def convert_utterance(
     nb_file: int | None = None,
     use_residual: bool | None = None,
     synth_iters: int | None = None,
+    reference_wav: str | None = None,
 ) -> ConversionResult:
     log = get_logger()
     timings: dict[str, float] = {}
@@ -175,7 +192,14 @@ def convert_utterance(
         write_wav(out_path, audio, sr)
         log.info("wrote %s", out_path)
 
+    mcd_val = None
+    if reference_wav is not None:
+        ref_sig, _ = read_wav(reference_wav)
+        mcd_val = mcd_between_signals(audio, ref_sig, cfg)
+        log.info("MCD vs %s: %.2f dB", reference_wav, mcd_val)
+
     return ConversionResult(
         audio=audio, sr=sr, converted=converted,
         n_iter=n_iter_total, nmf_error=err_total, timings=timings,
+        mcd_vs_reference=mcd_val,
     )

@@ -25,7 +25,6 @@ from exemplars_vc_tpu.config import Config
 from exemplars_vc_tpu.align import dtw_batch
 from exemplars_vc_tpu.dsp import mcep, mfcc
 from exemplars_vc_tpu.io import ArtifactStore, load_speaker, stack_ragged
-from exemplars_vc_tpu.io.store import bucketed_signal
 from exemplars_vc_tpu.obs import Timer, get_logger
 
 
@@ -41,21 +40,40 @@ class DictionaryArtifacts:
     distance: np.ndarray   # (N,) normalized DTW distances
 
 
-def _extract(sig: np.ndarray, cfg: Config, feat: str) -> np.ndarray:
+def _extract_batch(sigs: list[np.ndarray], cfg: Config, feat: str) -> list[np.ndarray]:
+    """Extract alignment features for ALL utterances in one vmapped call.
+
+    Signals are padded to a common bucketed length so the whole speaker is a
+    single (N, T) device batch — one jit shape, one dispatch (the reference
+    pays a process-pool task per file, ``01_make_dict_parallel.py:169-172``)."""
     m = cfg.mcep
-    # bucket the signal length so jit shapes repeat across utterances
-    padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
-    x = jnp.asarray(padded, dtype=jnp.float32)
+    step = m.hop_length * cfg.data.frame_bucket
+    max_len = max(len(s) for s in sigs)
+    target = ((max_len + step - 1) // step) * step
+    batch = np.zeros((len(sigs), target), dtype=np.float32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    xb = jnp.asarray(batch)
+
     if feat == "mfcc":
-        out = mfcc(x, sr=cfg.data.sr, n_fft=m.frame_length, hop_length=m.hop_length,
-                   n_mfcc=m.n_mfcc, n_mels=m.n_mels)
-        return np.asarray(out)[:true_frames]
+        out = jax.vmap(
+            lambda x: mfcc(x, sr=cfg.data.sr, n_fft=m.frame_length,
+                           hop_length=m.hop_length, n_mfcc=m.n_mfcc,
+                           n_mels=m.n_mels)
+        )(xb)
+        host = np.asarray(out)
+        return [host[i, : 1 + len(s) // m.hop_length] for i, s in enumerate(sigs)]
     if feat in ("mcep", "mcc"):
-        out = mcep(x, frame_length=m.frame_length, hop_length=m.hop_length,
-                   order=m.order, alpha=m.alpha)
+        out = jax.vmap(
+            lambda x: mcep(x, frame_length=m.frame_length, hop_length=m.hop_length,
+                           order=m.order, alpha=m.alpha)
+        )(xb)
+        host = np.asarray(out)
         # mcep uses uncentered framing: (len - frame)//hop + 1 frames
-        n = (len(sig) - m.frame_length) // m.hop_length + 1
-        return np.asarray(out)[:n]
+        return [
+            host[i, : (len(s) - m.frame_length) // m.hop_length + 1]
+            for i, s in enumerate(sigs)
+        ]
     raise ValueError(f"unsupported alignment feature {feat!r}")
 
 
@@ -87,8 +105,8 @@ def make_dictionary(
     log.info("loaded %d utterance pairs in %.2fs", n, t_load.elapsed)
 
     with Timer("features") as t_feat:
-        fa = [_extract(s, cfg, feat) for s in src_sigs]
-        fb = [_extract(s, cfg, feat) for s in tar_sigs]
+        fa = _extract_batch(src_sigs, cfg, feat)
+        fb = _extract_batch(tar_sigs, cfg, feat)
         FA, la = stack_ragged(fa, bucket=cfg.data.frame_bucket)
         FB, lb = stack_ragged(fb, bucket=cfg.data.frame_bucket)
     log.info("features %s/%s in %.2fs", FA.shape, FB.shape, t_feat.elapsed)
