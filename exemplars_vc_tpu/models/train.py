@@ -13,6 +13,7 @@ batch axis is the data-parallel axis over a mesh.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -89,7 +90,7 @@ def train_warping_net(
     store: ArtifactStore,
     data_path: str,
     nb_file: int | None = None,
-    run_root: str = "runs",
+    run_root: str | None = None,
     seed: int = 0,
 ) -> dict:
     log = get_logger()
@@ -111,12 +112,31 @@ def train_warping_net(
     )
     opt_state = optimizer.init(params)
 
-    xs_tr = jnp.asarray(src[idx_train])
-    ys_tr = jnp.asarray(tar[idx_train])
+    # Standardize features with masked training-set statistics (the reference
+    # trains on raw MFCCs whose c0 is O(500) — with lr 5e-3 the net cannot
+    # even reach the identity baseline; normalization fixes conditioning and
+    # the stats are stored with the checkpoint for inference).
+    m3 = mask[idx_train][..., None]
+    denom = max(m3.sum(), 1.0)
+    mu = (src[idx_train] * m3).sum((0, 1)) / denom
+    sd = np.sqrt(((src[idx_train] - mu) ** 2 * m3).sum((0, 1)) / denom) + 1e-6
+    store.save("warping_norm", mu=mu, sd=sd)
+
+    def norm(a):
+        return (a - mu) / sd
+
+    xs_tr = jnp.asarray(norm(src[idx_train]))
+    ys_tr = jnp.asarray(norm(tar[idx_train]))
     m_tr = jnp.asarray(mask[idx_train])
-    xs_te = jnp.asarray(src[idx_test])
-    ys_te = jnp.asarray(tar[idx_test])
+    xs_te = jnp.asarray(norm(src[idx_test]))
+    ys_te = jnp.asarray(norm(tar[idx_test]))
     m_te = jnp.asarray(mask[idx_test])
+
+    from exemplars_vc_tpu.obs.logging import new_run_dir
+    from exemplars_vc_tpu.obs.scalars import ScalarWriter
+
+    run_dir = new_run_dir(run_root or os.path.join(store.root, "runs"))
+    writer = ScalarWriter(run_dir)
 
     best_loss, best_epoch, stale = np.inf, -1, 0
     history = []
@@ -140,6 +160,12 @@ def train_warping_net(
             per_frame = te_loss / max(float(m_te.sum()), 1.0)
             history.append({"epoch": epoch, "train_loss": float(tr_loss),
                             "test_loss": te_loss, "test_l1_per_frame": per_frame})
+            # per-epoch scalars + per-parameter summaries (the reference's
+            # tensorboardX add_scalar/add_histogram, 02_freq_warping_neural.py:212-220)
+            writer.scalar("loss/train", float(tr_loss), epoch)
+            writer.scalar("loss/test", te_loss, epoch)
+            for i, leaf in enumerate(jax.tree_util.tree_leaves(params)):
+                writer.summary(f"params/leaf_{i}", np.asarray(leaf), epoch)
             log.info("epoch %d: train %.1f test %.1f (%.4f/frame)",
                      epoch, float(tr_loss), te_loss, per_frame)
             if te_loss < best_loss:   # best-loss checkpointing (ref :222-235)
@@ -152,6 +178,7 @@ def train_warping_net(
                              epoch, cfg.net.patience)
                     break
 
+    writer.close()
     return {
         "epochs_run": len(history),
         "best_epoch": best_epoch,
@@ -159,17 +186,24 @@ def train_warping_net(
         "final_test_l1_per_frame": history[-1]["test_l1_per_frame"],
         "train_seconds": t_total.elapsed,
         "checkpoint": ckpt_name,
+        "run_dir": run_dir,
         "history": history,
     }
 
 
 def apply_warping_net(store: ArtifactStore, cfg: Config, feats: jnp.ndarray) -> jnp.ndarray:
     """Inference path (the reference's unfinished ``02_test_freq_warping_neural``):
-    load the best checkpoint and warp a batch of feature sequences."""
+    load the best checkpoint (+ normalization stats) and warp feature sequences."""
+    if store.has("warping_norm"):
+        z = store.load("warping_norm")
+        mu, sd = jnp.asarray(z["mu"]), jnp.asarray(z["sd"])
+    else:
+        mu, sd = 0.0, 1.0
+    feats = (feats - mu) / sd
     net_cfg = WarpingNetConfig(
         in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
         out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
     )
     like = init_warping_params(jax.random.PRNGKey(0), net_cfg)
     params = load_params(store, f"{cfg.net.checkpoint_name}_warping", like)
-    return warping_forward_batch(params, feats)
+    return warping_forward_batch(params, feats) * sd + mu

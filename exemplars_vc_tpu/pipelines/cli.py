@@ -104,6 +104,33 @@ def cmd_demo(args):
     print(json.dumps({"wav": wav, "out": out, "samples": int(res.audio.shape[0])}))
 
 
+def cmd_warp_eval(args):
+    """Evaluate the trained warping net on the held-out split — the working
+    version of the reference's broken 02_test_freq_warping_neural.py."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exemplars_vc_tpu.models.train import (
+        apply_warping_net,
+        make_warping_dataset,
+        train_test_split,
+    )
+
+    cfg, store = _setup(args)
+    src, tar, mask = make_warping_dataset(cfg, store, args.data, nb_file=args.nb_file)
+    _, idx_test = train_test_split(src.shape[0])
+    pred = np.asarray(apply_warping_net(store, cfg, jnp.asarray(src[idx_test])))
+    m = mask[idx_test][..., None]
+    l1 = float(np.sum(np.abs(pred - tar[idx_test]) * m) / max(m.sum(), 1.0))
+    baseline = float(np.sum(np.abs(src[idx_test] - tar[idx_test]) * m) / max(m.sum(), 1.0))
+    print(json.dumps({
+        "test_utterances": int(len(idx_test)),
+        "l1_per_coeff": l1,
+        "identity_baseline_l1": baseline,
+        "improvement": (baseline - l1) / baseline if baseline else None,
+    }))
+
+
 def cmd_warp_train(args):
     from exemplars_vc_tpu.models.train import train_warping_net
 
@@ -142,8 +169,12 @@ def main(argv=None):
 
     p = sub.add_parser("warp-train", help="stage 02: train the neural warping net")
     _add_common(p)
-    p.add_argument("--runs", default="runs")
+    p.add_argument("--runs", default=None)
     p.set_defaults(fn=cmd_warp_train)
+
+    p = sub.add_parser("warp-eval", help="stage 02: evaluate the trained warping net")
+    _add_common(p)
+    p.set_defaults(fn=cmd_warp_eval)
 
     args = ap.parse_args(argv)
     return args.fn(args)
