@@ -149,34 +149,51 @@ def _backtrace(dirs: jnp.ndarray, len_a, len_b, max_path: int):
     return path_i, path_j, path_len
 
 
-@partial(jax.jit, static_argnames=())
+def _band_mask(ta: int, tb: int, la, lb, band) -> jnp.ndarray:
+    """Sakoe-Chiba band around the stretched diagonal (in source-frame units).
+
+    The banded variant plays the role of the reference's ``fastdtw``
+    alternative (``01_make_dict.py:150``): an O(band·T) approximation that is
+    exact whenever the optimal path stays within the band."""
+    i = jnp.arange(ta, dtype=jnp.float32)[:, None]
+    j = jnp.arange(tb, dtype=jnp.float32)[None, :]
+    slope = la.astype(jnp.float32) / jnp.maximum(lb.astype(jnp.float32), 1.0)
+    return jnp.abs(i - j * slope) <= band
+
+
+@partial(jax.jit, static_argnames=("band",))
 def dtw(
     feat_a: jnp.ndarray,
     feat_b: jnp.ndarray,
     len_a: jnp.ndarray | None = None,
     len_b: jnp.ndarray | None = None,
+    band: int | None = None,
 ) -> DtwResult:
     """Align one utterance pair.
 
     feat_a: (Ta, D) frames-major features (padded ok when len_a given).
-    Returns a :class:`DtwResult` with ascending index paths.
+    ``band``: optional Sakoe-Chiba band half-width in frames (None = exact
+    full DP). Returns a :class:`DtwResult` with ascending index paths.
     """
     ta, tb = feat_a.shape[0], feat_b.shape[0]
     la = jnp.asarray(ta if len_a is None else len_a, dtype=jnp.int32)
     lb = jnp.asarray(tb if len_b is None else len_b, dtype=jnp.int32)
     C = pairwise_sqdist(feat_a.astype(jnp.float32), feat_b.astype(jnp.float32))
+    if band is not None:
+        C = jnp.where(_band_mask(ta, tb, la, lb, band), C, BIG)
     raw, dirs = _dtw_cost_dirs(C, la, lb)
     path_i, path_j, path_len = _backtrace(dirs, la, lb, ta + tb - 1)
     return DtwResult(raw / (la + lb).astype(jnp.float32), raw, path_i, path_j, path_len)
 
 
-@partial(jax.jit, static_argnames=("backend",))
+@partial(jax.jit, static_argnames=("backend", "band"))
 def dtw_batch(
     feats_a: jnp.ndarray,
     feats_b: jnp.ndarray,
     lens_a: jnp.ndarray,
     lens_b: jnp.ndarray,
     backend: str = "auto",
+    band: int | None = None,
 ) -> DtwResult:
     """Batched alignment: (N, Ta, D) vs (N, Tb, D) with true lengths.
 
@@ -195,13 +212,15 @@ def dtw_batch(
     use_pallas = backend == "pallas"
 
     if not use_pallas:
-        return jax.vmap(dtw)(feats_a, feats_b, lens_a, lens_b)
+        return jax.vmap(partial(dtw, band=band))(feats_a, feats_b, lens_a, lens_b)
 
     from exemplars_vc_tpu.align.dtw_pallas import dtw_wavefront_pallas
 
     def skewed(fa, fb, la, lb):
         C = pairwise_sqdist(fa.astype(jnp.float32), fb.astype(jnp.float32))
         valid = (jnp.arange(ta)[:, None] < la) & (jnp.arange(tb)[None, :] < lb)
+        if band is not None:
+            valid = valid & _band_mask(ta, tb, la, lb, band)
         return _skew(jnp.where(valid, C, BIG))
 
     sk = jax.vmap(skewed)(feats_a, feats_b, lens_a, lens_b)

@@ -146,3 +146,25 @@ def test_gather_and_build_exemplars():
     g = np.asarray(gather_aligned(jnp.asarray(feats_a[0]), r.path_i[0]))
     pl0 = int(r.path_len[0])
     np.testing.assert_allclose(g[:pl0], feats_a[0][np.asarray(r.path_i[0, :pl0])])
+
+
+def test_banded_dtw_wide_band_is_exact():
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((40, 5)).astype(np.float32)
+    b = rng.standard_normal((55, 5)).astype(np.float32)
+    full = dtw(jnp.asarray(a), jnp.asarray(b))
+    banded = dtw(jnp.asarray(a), jnp.asarray(b), band=100)
+    assert abs(float(full.raw_distance) - float(banded.raw_distance)) < 1e-3
+    np.testing.assert_array_equal(np.asarray(full.path_i), np.asarray(banded.path_i))
+
+
+def test_banded_dtw_tight_band_monotone():
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((60, 5)).astype(np.float32)
+    b = (a[::1] + 0.01 * rng.standard_normal((60, 5))).astype(np.float32)
+    r = dtw(jnp.asarray(a), jnp.asarray(b), band=5)
+    pl_ = int(r.path_len)
+    pi, pj = np.asarray(r.path_i[:pl_]), np.asarray(r.path_j[:pl_])
+    assert pi[-1] == 59 and pj[-1] == 59
+    assert (np.abs(pi - pj) <= 5).all()
+    assert float(r.raw_distance) < 1.0
