@@ -94,7 +94,9 @@ class NmfConfig:
     beta_loss: str = "frobenius"    # "frobenius" | "kullback-leibler"
     tol: float = 1e-4
     max_iter: int = 150
-    solver: str = "mu"              # "mu" | "cd" (cd budget: max_iter=200)
+    # "auto": mu_pallas on TPU (4.9x faster at 100k-frame dictionaries), mu on
+    # CPU; explicit: "mu" | "mu_pallas" | "cd"/"nnls" | "qr"
+    solver: str = "auto"
     griffin_lim_iters: int = 300    # reference 04_align_n_nmf.py:187
     # "correct": multiplicative residual log r = log X - log(A·H)  (default)
     # "reference": r = log(A·H - X) with NaN->0, reproduced from

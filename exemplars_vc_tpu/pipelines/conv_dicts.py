@@ -38,9 +38,23 @@ def extract_stft_features(sig: np.ndarray, cfg: Config) -> np.ndarray:
     return np.asarray(jnp.abs(S))[:true_frames]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _stft_mag_batch(n_fft: int, hop: int, window: str):
+    """One jitted+vmapped |STFT| for a whole speaker batch. Jitting matters:
+    an unjitted vmap executes primitive-by-primitive, each a round trip
+    through the TPU tunnel. Cached so the compiled executable is reused."""
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda x: jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, window=window))
+    ))
+
+
 def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.ndarray]:
     """All utterances in one vmapped |STFT| call (one jit shape, one dispatch)."""
-    import jax
 
     m = cfg.mcep
     step = m.hop_length * cfg.data.frame_bucket
@@ -49,10 +63,7 @@ def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.
     batch = np.zeros((len(sigs), target), dtype=np.float32)
     for i, s in enumerate(sigs):
         batch[i, : len(s)] = s
-    mags = jax.vmap(
-        lambda x: jnp.abs(stft(x, n_fft=m.frame_length, hop_length=m.hop_length,
-                               window=m.window))
-    )(jnp.asarray(batch))
+    mags = _stft_mag_batch(m.frame_length, m.hop_length, m.window)(jnp.asarray(batch))
     host = np.asarray(mags)
     return [host[i, : 1 + len(s) // m.hop_length] for i, s in enumerate(sigs)]
 

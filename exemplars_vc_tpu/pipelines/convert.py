@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +76,11 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
     reference cd budget of 200 iters), 'qr' (unconstrained least squares —
     the reference's unfinished QRMF variant, 04_align_n_qrmf.py)."""
     solver = cfg.nmf.solver
+    if solver == "auto":
+        # measured on v5e (K=100k): Pallas-fused MU 0.22 s vs XLA 1.07 s for
+        # 50 iterations; on CPU the XLA path is faster and float64-capable
+        is_tpu = jax.default_backend() != "cpu"
+        solver = "mu_pallas" if (is_tpu and cfg.nmf.beta_loss == "frobenius") else "mu"
     if solver == "mu":
         return nmf_activations(X, A, beta_loss=cfg.nmf.beta_loss,
                                tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter)

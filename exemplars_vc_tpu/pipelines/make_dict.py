@@ -40,6 +40,27 @@ class DictionaryArtifacts:
     distance: np.ndarray   # (N,) normalized DTW distances
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _mfcc_batch(sr: int, n_fft: int, hop: int, n_mfcc: int, n_mels: int):
+    """Jitted+vmapped whole-speaker MFCC (single device dispatch, cached
+    executable — unjitted vmap would round-trip per primitive)."""
+    return jax.jit(jax.vmap(
+        lambda x: mfcc(x, sr=sr, n_fft=n_fft, hop_length=hop,
+                       n_mfcc=n_mfcc, n_mels=n_mels)
+    ))
+
+
+@lru_cache(maxsize=8)
+def _mcep_batch(frame_length: int, hop: int, order: int, alpha: float):
+    return jax.jit(jax.vmap(
+        lambda x: mcep(x, frame_length=frame_length, hop_length=hop,
+                       order=order, alpha=alpha)
+    ))
+
+
 def _extract_batch(sigs: list[np.ndarray], cfg: Config, feat: str) -> list[np.ndarray]:
     """Extract alignment features for ALL utterances in one vmapped call.
 
@@ -56,18 +77,11 @@ def _extract_batch(sigs: list[np.ndarray], cfg: Config, feat: str) -> list[np.nd
     xb = jnp.asarray(batch)
 
     if feat == "mfcc":
-        out = jax.vmap(
-            lambda x: mfcc(x, sr=cfg.data.sr, n_fft=m.frame_length,
-                           hop_length=m.hop_length, n_mfcc=m.n_mfcc,
-                           n_mels=m.n_mels)
-        )(xb)
-        host = np.asarray(out)
+        fn = _mfcc_batch(cfg.data.sr, m.frame_length, m.hop_length, m.n_mfcc, m.n_mels)
+        host = np.asarray(fn(xb))
         return [host[i, : 1 + len(s) // m.hop_length] for i, s in enumerate(sigs)]
     if feat in ("mcep", "mcc"):
-        out = jax.vmap(
-            lambda x: mcep(x, frame_length=m.frame_length, hop_length=m.hop_length,
-                           order=m.order, alpha=m.alpha)
-        )(xb)
+        out = _mcep_batch(m.frame_length, m.hop_length, m.order, m.alpha)(xb)
         host = np.asarray(out)
         # mcep uses uncentered framing: (len - frame)//hop + 1 frames
         return [
