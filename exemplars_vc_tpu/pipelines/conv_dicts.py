@@ -69,15 +69,26 @@ def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
+    """WORLD features for one utterance (signal length bucketed so jit shapes
+    repeat; frames trimmed back to the true count)."""
+    from exemplars_vc_tpu.io.store import bucketed_signal
     from exemplars_vc_tpu.world import analyze
 
+    w = cfg.world
+    hop = int(round(cfg.data.sr * w.frame_period_ms / 1000.0))
+    padded, _ = bucketed_signal(sig, hop, cfg.data.frame_bucket)
     res = analyze(
-        jnp.asarray(sig, jnp.float32), sr=cfg.data.sr,
-        frame_period_ms=cfg.world.frame_period_ms,
-        f0_floor=cfg.world.f0_floor, f0_ceil=cfg.world.f0_ceil,
-        fft_size=cfg.world.fft_size, refine_f0=cfg.world.f0_is_refined,
+        jnp.asarray(padded, jnp.float32), sr=cfg.data.sr,
+        frame_period_ms=w.frame_period_ms,
+        f0_floor=w.f0_floor, f0_ceil=w.f0_ceil,
+        fft_size=w.fft_size, refine_f0=w.f0_is_refined,
     )
-    return {"sp": np.asarray(res.sp), "ap": np.asarray(res.ap), "f0": np.asarray(res.f0)[:, None]}
+    n = len(sig) // hop + 1
+    return {
+        "sp": np.asarray(res.sp)[:n],
+        "ap": np.asarray(res.ap)[:n],
+        "f0": np.asarray(res.f0)[:n, None],
+    }
 
 
 def build_conversion_dicts(

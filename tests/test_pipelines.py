@@ -92,3 +92,21 @@ def test_cli_make_dict(cfg, tmp_path, capsys):
     payload = json.loads(out)
     assert payload["pairs"] == 2
     assert payload["total_exemplars"] > 0
+
+
+def test_convert_utterance_world_path(store, tmp_path):
+    cfg_world = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=2", "data.use_stft=false",
+        "nmf.max_iter=30",
+    ])
+    out = str(tmp_path / "conv_world.wav")
+    res = convert_utterance(
+        cfg_world, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
+        out_path=out, nb_file=2,
+    )
+    assert os.path.isfile(out)
+    assert np.isfinite(res.audio).all()
+    assert set(res.converted) == {"sp", "ap", "f0"}
+    # converted aperiodicity stays within physical range after (H B) * R
+    ap = res.converted["ap"]
+    assert np.isfinite(ap).all()
