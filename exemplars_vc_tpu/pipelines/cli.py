@@ -104,6 +104,31 @@ def cmd_demo(args):
     print(json.dumps({"wav": wav, "out": out, "samples": int(res.audio.shape[0])}))
 
 
+def cmd_convert_dir(args):
+    """Batch/serving conversion: prepare dictionaries once, convert a whole
+    directory of utterances with resident device arrays."""
+    import glob
+    import os as _os
+
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    cfg, store = _setup(args)
+    conv = Converter(cfg, store, args.data, nb_file=args.nb_file)
+    _os.makedirs(args.out_dir, exist_ok=True)
+    wavs = sorted(glob.glob(_os.path.join(args.in_dir, "*.wav")))
+    results = []
+    for w in wavs:
+        out = _os.path.join(args.out_dir, _os.path.basename(w))
+        r = conv.convert(w, out_path=out, synth_iters=args.synth_iters)
+        results.append({"wav": w, "out": out, "seconds": round(r.seconds, 3)})
+    print(json.dumps({
+        "prepared_s": round(conv.prepare_seconds, 3),
+        "n_files": len(results),
+        "total_convert_s": round(sum(r["seconds"] for r in results), 3),
+        "results": results,
+    }))
+
+
 def cmd_warp_eval(args):
     """Evaluate the trained warping net on the held-out split — the working
     version of the reference's broken 02_test_freq_warping_neural.py."""
@@ -175,6 +200,13 @@ def main(argv=None):
     p = sub.add_parser("warp-eval", help="stage 02: evaluate the trained warping net")
     _add_common(p)
     p.set_defaults(fn=cmd_warp_eval)
+
+    p = sub.add_parser("convert-dir", help="serving: batch-convert a directory")
+    _add_common(p)
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--synth-iters", type=int, default=None)
+    p.set_defaults(fn=cmd_convert_dir)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,99 @@
+"""Serving: a prepared converter for batch/production conversion.
+
+The reference's conversion path re-loads dictionaries from pickle per run
+(``04_align_n_nmf.py:251-302``). For serving, dictionary preparation (the
+expensive part: dict build + aligned exemplar gather + device upload) happens
+once; each subsequent utterance is features → NMF → convert → synth on
+already-resident device arrays with cached executables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.dsp import griffin_lim
+from exemplars_vc_tpu.factorize import convert_features, residual_compensation
+from exemplars_vc_tpu.io import ArtifactStore, read_wav, write_wav
+from exemplars_vc_tpu.obs import Timer, get_logger
+from exemplars_vc_tpu.pipelines.convert import _aligned_dicts, _solve_activations
+
+
+@dataclass
+class Converted:
+    audio: np.ndarray
+    sr: int
+    nmf_iters: int
+    nmf_error: float
+    seconds: float
+
+
+class Converter:
+    """Hold the prepared exemplar dictionaries on device; convert utterances.
+
+    >>> conv = Converter(cfg, store, data_path)
+    >>> result = conv.convert("utt.wav", out_path="out.wav")
+    """
+
+    def __init__(self, cfg: Config, store: ArtifactStore, data_path: str,
+                 nb_file: int | None = None):
+        self.cfg = cfg
+        self.log = get_logger()
+        with Timer("prepare") as t:
+            dicts, self.kind = _aligned_dicts(cfg, store, data_path, nb_file)
+            self.dicts = {
+                name: (jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32))
+                for name, (A, B) in dicts.items()
+            }
+        self.prepare_seconds = t.elapsed
+        self.log.info("converter ready (%s, %d exemplars) in %.2fs", self.kind,
+                      next(iter(self.dicts.values()))[0].shape[0], t.elapsed)
+
+    def convert(self, wav_path: str, out_path: str | None = None,
+                synth_iters: int | None = None) -> Converted:
+        cfg = self.cfg
+        x, sr = read_wav(wav_path)
+        with Timer("convert") as t:
+            if self.kind == "stft":
+                from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
+
+                feats_in = {"stft": extract_stft_features(x, cfg)}
+            else:
+                from exemplars_vc_tpu.pipelines.conv_dicts import extract_world_features
+
+                feats_in = extract_world_features(x, cfg)
+
+            converted = {}
+            iters, err = 0, 0.0
+            for name, X in feats_in.items():
+                A, B = self.dicts[name]
+                Xj = jnp.asarray(X, jnp.float32)
+                st = _solve_activations(Xj, A, cfg)
+                R = (residual_compensation(Xj, st.H, A, mode=cfg.nmf.residual_mode)
+                     if self.kind == "world" else None)
+                converted[name] = convert_features(st.H, B, R)
+                iters += int(st.n_iter)
+                err += float(st.error)
+
+            if self.kind == "stft":
+                n_iter = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
+                audio = np.asarray(griffin_lim(
+                    converted["stft"], n_fft=cfg.mcep.frame_length,
+                    hop_length=cfg.mcep.hop_length, n_iter=n_iter, length=len(x),
+                ))
+            else:
+                from exemplars_vc_tpu.world import synthesize
+
+                audio = np.asarray(synthesize(
+                    jnp.squeeze(converted["f0"], -1), converted["sp"],
+                    converted["ap"], sr=sr,
+                    frame_period_ms=cfg.world.frame_period_ms,
+                    fft_size=cfg.world.fft_size,
+                ))
+        if out_path is not None:
+            write_wav(out_path, audio, sr)
+        return Converted(audio=audio, sr=sr, nmf_iters=iters, nmf_error=err,
+                         seconds=t.elapsed)
