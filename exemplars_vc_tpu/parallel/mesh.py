@@ -38,9 +38,9 @@ def make_mesh(
         data = n // dict_
     elif dict_ is None:
         dict_ = n // data
-    if data * dict_ != n:
-        raise ValueError(f"mesh {data}x{dict_} != {n} devices")
-    arr = np.asarray(devices).reshape(data, dict_)
+    if data * dict_ > n:
+        raise ValueError(f"mesh {data}x{dict_} > {n} devices")
+    arr = np.asarray(devices[: data * dict_]).reshape(data, dict_)
     return Mesh(arr, (DATA_AXIS, DICT_AXIS))
 
 

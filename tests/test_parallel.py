@@ -20,7 +20,9 @@ def test_mesh_shapes():
     mesh2 = make_mesh(data=2, dict_=4)
     assert mesh2.shape["data"] == 2 and mesh2.shape["dict"] == 4
     with pytest.raises(ValueError):
-        make_mesh(data=3, dict_=3)
+        make_mesh(data=3, dict_=3)  # 9 > 8 devices
+    # sub-meshes over a device subset are allowed
+    assert make_mesh(data=2, dict_=1).devices.size == 2
 
 
 def test_shard_and_replicate():
