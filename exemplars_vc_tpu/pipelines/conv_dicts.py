@@ -55,7 +55,17 @@ def _stft_mag_batch(n_fft: int, hop: int, window: str):
 
 def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.ndarray]:
     """All utterances in one vmapped |STFT| call (one jit shape, one dispatch)."""
+    stacked, lens = extract_stft_features_stacked(sigs, cfg)
+    return [stacked[i, : lens[i]] for i in range(len(sigs))]
 
+
+def extract_stft_features_stacked(
+    sigs: list[np.ndarray], cfg: Config
+) -> tuple[np.ndarray, np.ndarray]:
+    """(N, T_pad, bins) padded magnitudes + true frame counts, no host re-pack.
+
+    The padded batch IS the storage format (stack_ragged layout), so the
+    pipeline never trims to lists and re-pads."""
     m = cfg.mcep
     step = m.hop_length * cfg.data.frame_bucket
     max_len = max(len(s) for s in sigs)
@@ -64,8 +74,12 @@ def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.
     for i, s in enumerate(sigs):
         batch[i, : len(s)] = s
     mags = _stft_mag_batch(m.frame_length, m.hop_length, m.window)(jnp.asarray(batch))
-    host = np.asarray(mags)
-    return [host[i, : 1 + len(s) // m.hop_length] for i, s in enumerate(sigs)]
+    host = np.array(mags)   # writable copy (np.asarray of a jax array is read-only)
+    lens = np.asarray([1 + len(s) // m.hop_length for s in sigs], np.int32)
+    # zero the padded frames so downstream consumers see silence
+    for i, ln in enumerate(lens):
+        host[i, ln:] = 0.0
+    return host, lens
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
@@ -114,8 +128,7 @@ def build_conversion_dicts(
     sigs, _ = load_speaker(data_path, speaker, nb_file=nb)
     with Timer("conv-features") as t:
         if kind == "stft":
-            mags = extract_stft_features_batch(sigs, cfg)
-            stacked, lens = stack_ragged(mags, bucket=cfg.data.frame_bucket)
+            stacked, lens = extract_stft_features_stacked(sigs, cfg)
             feats = {"stft": stacked}
         else:
             per_utt = [extract_world_features(s, cfg) for s in sigs]
