@@ -102,6 +102,7 @@ def train_warping_net(
     net_cfg = WarpingNetConfig(
         in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
         out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
+        bidirectional=cfg.net.bidirectional,
     )
     params = init_warping_params(jax.random.PRNGKey(seed), net_cfg)
 
@@ -203,6 +204,7 @@ def apply_warping_net(store: ArtifactStore, cfg: Config, feats: jnp.ndarray) -> 
     net_cfg = WarpingNetConfig(
         in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
         out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
+        bidirectional=cfg.net.bidirectional,
     )
     like = init_warping_params(jax.random.PRNGKey(0), net_cfg)
     params = load_params(store, f"{cfg.net.checkpoint_name}_warping", like)

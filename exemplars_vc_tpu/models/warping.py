@@ -27,6 +27,8 @@ class WarpingNetConfig:
     hidden_size: int = 20
     out_size: int = 20
     nb_lstm_layers: int = 2
+    bidirectional: bool = False  # the reference's config knob (config/config:15)
+                                 # which its Net hard-codes off (models.py:72)
     deep_head: bool = False     # use the fc1→fc2→fc3 MLP head instead of fc4
     fc_neurons: int = 1024      # reference models.py:60 fc_neuron default
 
@@ -37,19 +39,24 @@ def init_warping_params(key: jax.Array, cfg: WarpingNetConfig) -> dict:
     torch inits biases uniformly — documented deviation)."""
     params: dict = {"lstm": [], "head": {}}
     h = cfg.hidden_size
+    n_dir = 2 if cfg.bidirectional else 1
     for layer in range(cfg.nb_lstm_layers):
-        key, k1, k2 = jax.random.split(key, 3)
-        d_in = cfg.in_size if layer == 0 else h
+        d_in = (cfg.in_size if layer == 0 else h * n_dir)
         scale = 1.0 / jnp.sqrt(h)
-        W = jax.random.uniform(k1, (d_in + h, 4 * h), minval=-scale, maxval=scale)
-        b = jnp.zeros((4 * h,)).at[h : 2 * h].set(1.0)
-        params["lstm"].append({"W": W, "b": b})
+        dirs = {}
+        for direction in (["fwd", "bwd"] if cfg.bidirectional else ["fwd"]):
+            key, k1 = jax.random.split(key)
+            W = jax.random.uniform(k1, (d_in + h, 4 * h), minval=-scale, maxval=scale)
+            b = jnp.zeros((4 * h,)).at[h : 2 * h].set(1.0)
+            dirs[direction] = {"W": W, "b": b}
+        params["lstm"].append(dirs)
     key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    h_out = h * n_dir   # head consumes the (possibly concatenated) LSTM output
     if cfg.deep_head:
-        s1 = 1.0 / jnp.sqrt(h)
+        s1 = 1.0 / jnp.sqrt(h_out)
         s2 = 1.0 / jnp.sqrt(cfg.fc_neurons)
         params["head"] = {
-            "fc1": {"W": jax.random.uniform(k1, (h, cfg.fc_neurons), minval=-s1, maxval=s1),
+            "fc1": {"W": jax.random.uniform(k1, (h_out, cfg.fc_neurons), minval=-s1, maxval=s1),
                     "b": jnp.zeros((cfg.fc_neurons,))},
             "fc2": {"W": jax.random.uniform(k2, (cfg.fc_neurons, cfg.fc_neurons), minval=-s2, maxval=s2),
                     "b": jnp.zeros((cfg.fc_neurons,))},
@@ -57,9 +64,9 @@ def init_warping_params(key: jax.Array, cfg: WarpingNetConfig) -> dict:
                     "b": jnp.zeros((cfg.out_size,))},
         }
     else:
-        s = 1.0 / jnp.sqrt(h)
+        s = 1.0 / jnp.sqrt(h_out)
         params["head"] = {
-            "fc4": {"W": jax.random.uniform(k4, (h, cfg.out_size), minval=-s, maxval=s),
+            "fc4": {"W": jax.random.uniform(k4, (h_out, cfg.out_size), minval=-s, maxval=s),
                     "b": jnp.zeros((cfg.out_size,))},
         }
     return params
@@ -89,7 +96,12 @@ def warping_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """(T, in_size) → (T, out_size)."""
     h = x
     for layer_params in params["lstm"]:
-        h = _lstm_layer(layer_params, h)
+        fwd = _lstm_layer(layer_params["fwd"], h)
+        if "bwd" in layer_params:
+            bwd = _lstm_layer(layer_params["bwd"], h[::-1])[::-1]
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            h = fwd
     head = params["head"]
     if "fc4" in head:
         return h @ head["fc4"]["W"] + head["fc4"]["b"]

@@ -121,3 +121,15 @@ def test_freq_warp_amf_and_dfw():
     curve = warping_curve_from_path(pi[0], pj[0], 65)
     # identical spectra → identity warping
     np.testing.assert_allclose(curve, np.arange(65), atol=1e-6)
+
+
+def test_bidirectional_forward_and_future_dependence():
+    cfg = WarpingNetConfig(nb_lstm_layers=1, bidirectional=True)
+    params = init_warping_params(jax.random.PRNGKey(5), cfg)
+    x1 = jnp.zeros((10, 20)).at[9].set(1.0)   # change only the LAST frame
+    x2 = jnp.zeros((10, 20))
+    y1 = warping_forward(params, x1)
+    y2 = warping_forward(params, x2)
+    assert y1.shape == (10, 20)
+    # with a backward pass, early outputs depend on future inputs
+    assert float(jnp.abs(y1[0] - y2[0]).max()) > 1e-6
