@@ -110,3 +110,37 @@ def test_convert_utterance_world_path(store, tmp_path):
     # converted aperiodicity stays within physical range after (H B) * R
     ap = res.converted["ap"]
     assert np.isfinite(ap).all()
+
+
+def test_cli_conv_dicts_and_demo(tmp_path, capsys):
+    from exemplars_vc_tpu.pipelines.cli import main
+
+    store = str(tmp_path / "store")
+    main(["conv-dicts", "--data", DATA, "--store", store, "--tar", "TF1",
+          "--nb-file", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["speaker"] for l in lines} == {"SF1", "TF1"}
+    assert all(l["kind"] == "stft" for l in lines)
+
+    out = str(tmp_path / "demo.wav")
+    main(["demo", "--data", DATA, "--store", store, "--tar", "TF1",
+          "--nb-file", "2", "--out", out])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.isfile(out)
+    assert payload["samples"] > 16000
+
+
+def test_cli_convert_dir(tmp_path, capsys):
+    from exemplars_vc_tpu.pipelines.cli import main
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import shutil
+
+    shutil.copy(os.path.join(DATA, "SF1", "100001.wav"), in_dir)
+    main(["convert-dir", "--data", DATA, "--store", str(tmp_path / "store"),
+          "--tar", "TF1", "--nb-file", "2", "--in-dir", str(in_dir),
+          "--out-dir", str(tmp_path / "out"), "--synth-iters", "10"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["n_files"] == 1
+    assert os.path.isfile(str(tmp_path / "out" / "100001.wav"))
