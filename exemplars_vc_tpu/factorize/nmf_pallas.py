@@ -47,9 +47,129 @@ def _update_kernel(p_ref, a_ref, h_ref, num_ref, out_ref):
     out_ref[:] = h_ref[:] * (num_ref[:] / den)
 
 
+def _fused_mu_call(Fp, Kp, Dp, tile_f, tile_k, interpret):
+    """One pallas_call per MU iteration: both matmuls + the elementwise
+    update inside a single kernel. Per F-tile program:
+
+      phase 1: stream K chunks of H and A through double-buffered VMEM,
+               accumulating P = H·A in scratch (never touches HBM);
+      phase 2: stream K chunks again, computing Den = P·Aᵀ fused with
+               H ⊙ Num / Den and DMAing the updated chunk back out.
+
+    Halves kernel launches and removes the P round trip vs the two-kernel
+    version."""
+    n_k = Kp // tile_k
+
+    def kernel(h_hbm, a_hbm, num_hbm, out_hbm, p_acc, h_buf, a_buf, num_buf,
+               out_buf, sems):
+        f = pl.program_id(0)
+        row0 = f * tile_f
+
+        def h_dma(slot, kc):
+            return pltpu.make_async_copy(
+                h_hbm.at[pl.ds(row0, tile_f), pl.ds(kc * tile_k, tile_k)],
+                h_buf.at[slot], sems.at[slot, 0])
+
+        def a_dma(slot, kc):
+            return pltpu.make_async_copy(
+                a_hbm.at[pl.ds(kc * tile_k, tile_k), :], a_buf.at[slot],
+                sems.at[slot, 1])
+
+        def num_dma(slot, kc):
+            return pltpu.make_async_copy(
+                num_hbm.at[pl.ds(row0, tile_f), pl.ds(kc * tile_k, tile_k)],
+                num_buf.at[slot], sems.at[slot, 2])
+
+        # ---- phase 1: P = H·A over K chunks, double buffered ---------------
+        p_acc[:] = jnp.zeros_like(p_acc)
+        h_dma(0, 0).start()
+        a_dma(0, 0).start()
+
+        def phase1(kc, _):
+            slot = kc % 2
+            nxt = (kc + 1) % 2
+
+            @pl.when(kc + 1 < n_k)
+            def _():
+                h_dma(nxt, kc + 1).start()
+                a_dma(nxt, kc + 1).start()
+
+            h_dma(slot, kc).wait()
+            a_dma(slot, kc).wait()
+            p_acc[:] += jnp.dot(h_buf[slot], a_buf[slot],
+                                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_k, phase1, 0)
+
+        # ---- phase 2: H ⊙ Num / (P·Aᵀ) over K chunks ----------------------
+        h_dma(0, 0).start()
+        a_dma(0, 0).start()
+        num_dma(0, 0).start()
+
+        def out_dma(slot, kc):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                out_hbm.at[pl.ds(row0, tile_f), pl.ds(kc * tile_k, tile_k)],
+                sems.at[slot, 3])
+
+        def phase2(kc, _):
+            slot = kc % 2
+            nxt = (kc + 1) % 2
+
+            @pl.when(kc + 1 < n_k)
+            def _():
+                h_dma(nxt, kc + 1).start()
+                a_dma(nxt, kc + 1).start()
+                num_dma(nxt, kc + 1).start()
+
+            h_dma(slot, kc).wait()
+            a_dma(slot, kc).wait()
+            num_dma(slot, kc).wait()
+
+            @pl.when(kc >= 2)
+            def _():
+                out_dma(slot, kc - 2).wait()
+
+            den = jnp.dot(p_acc[:], a_buf[slot].T,
+                          preferred_element_type=jnp.float32)
+            den = jnp.where(den == 0.0, _EPS, den)
+            out_buf[slot] = h_buf[slot] * (num_buf[slot] / den)
+            out_dma(slot, kc).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_k, phase2, 0)
+        out_dma((n_k - 1) % 2, n_k - 1).wait()
+        @pl.when(n_k >= 2)
+        def _():
+            out_dma(n_k % 2, n_k - 2).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Fp // tile_f,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Fp, Kp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_f, Dp), jnp.float32),
+            pltpu.VMEM((2, tile_f, tile_k), jnp.float32),
+            pltpu.VMEM((2, tile_k, Dp), jnp.float32),
+            pltpu.VMEM((2, tile_f, tile_k), jnp.float32),
+            pltpu.VMEM((2, tile_f, tile_k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("max_iter", "check_every", "tile_f", "tile_k", "interpret"),
+    static_argnames=("max_iter", "check_every", "tile_f", "tile_k", "interpret", "fused"),
 )
 def nmf_activations_pallas(
     X: jnp.ndarray,
@@ -60,6 +180,7 @@ def nmf_activations_pallas(
     tile_f: int = 256,
     tile_k: int = 512,
     interpret: bool = False,
+    fused: bool = False,
 ) -> NmfState:
     """Frobenius-loss fixed-dictionary NMF with Pallas-fused MU iterations."""
     F, D = X.shape
@@ -101,9 +222,15 @@ def nmf_activations_pallas(
         interpret=interpret,
     )
 
-    def mu_step(H):
-        P = recon(H, Ap)
-        return update(P, Ap, H, Num)
+    if fused:
+        fused_call = _fused_mu_call(Fp, Kp, Dp, tile_f, tile_k, interpret)
+
+        def mu_step(H):
+            return fused_call(H, Ap, Num)
+    else:
+        def mu_step(H):
+            P = recon(H, Ap)
+            return update(P, Ap, H, Num)
 
     # padded F rows have X=0 but nonzero initial reconstruction; mask them so
     # the convergence error matches the unpadded solver exactly

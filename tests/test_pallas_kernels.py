@@ -79,3 +79,16 @@ def test_dtw_pallas_matches_scan():
 def test_fits_vmem():
     assert fits_vmem(704, 871)
     assert not fits_vmem(4096, 4096)
+
+
+def test_nmf_pallas_fused_matches_xla():
+    rng = np.random.default_rng(3)
+    F, K, D = 16, 256, 25
+    A = np.abs(rng.standard_normal((K, D))).astype(np.float32)
+    X = np.abs(rng.standard_normal((F, D))).astype(np.float32)
+    ref = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0.0, max_iter=30)
+    got = nmf_activations_pallas(
+        jnp.asarray(X), jnp.asarray(A), tol=0.0, max_iter=30,
+        tile_f=8, tile_k=128, interpret=True, fused=True,
+    )
+    np.testing.assert_allclose(np.asarray(got.H), np.asarray(ref.H), rtol=2e-3, atol=1e-5)
