@@ -79,8 +79,24 @@ def synthesize(
     amp = jnp.sqrt(jnp.maximum(2.0 * sp_k * f0_safe[:, None] / sr, 0.0))
     amp = amp * (1.0 - ap_k) * nyq_mask * voiced[:, None]       # (F, K)
 
+    # minimum-phase harmonic phases from the envelope cepstrum: for a
+    # minimum-phase system, arg H(ω) = −Σ_{τ>0} 2·c_τ·sin(ωτ) with c the real
+    # cepstrum of ½·log sp — WORLD likewise excites minimum-phase responses
+    # rather than zero-phase pulses (less buzzy, natural phase dispersion)
+    n_ceps = 64
+    log_half = 0.5 * jnp.log(jnp.maximum(sp, 1e-20))
+    full = jnp.concatenate([log_half, log_half[:, -2:0:-1]], axis=-1)
+    from exemplars_vc_tpu.dsp import fft as _fft
+
+    ceps = _fft.irfft(full, n=full.shape[-1])[:, 1:n_ceps]       # (F, n_ceps-1)
+    tau = jnp.arange(1, n_ceps, dtype=sp.dtype)                  # (τ,)
+    omega_k = 2.0 * jnp.pi * harm_hz / sr                        # (F, K)
+    sin_basis = jnp.sin(omega_k[:, :, None] * tau[None, None, :])
+    theta = -2.0 * jnp.einsum("ft,fkt->fk", ceps, sin_basis)     # (F, K)
+
     amp_t = _upsample_frames(amp, hop, n_samples)               # (T, K)
-    y_per = jnp.sum(amp_t * jnp.cos(phase[:, None] * k[None, :]), axis=-1)
+    theta_t = _upsample_frames(theta, hop, n_samples)
+    y_per = jnp.sum(amp_t * jnp.cos(phase[:, None] * k[None, :] + theta_t), axis=-1)
     y_per = y_per * voiced_t
 
     # ---- aperiodic component ------------------------------------------------
