@@ -57,6 +57,7 @@ def test_convert_utterance_stft(cfg, store, tmp_path):
     res = convert_utterance(
         cfg, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
         out_path=out, nb_file=4, synth_iters=30,
+        reference_wav=os.path.join(DATA, "TF1", "100001.wav"),
     )
     assert os.path.isfile(out)
     assert res.audio.ndim == 1 and res.audio.shape[0] > 16000
@@ -65,6 +66,10 @@ def test_convert_utterance_stft(cfg, store, tmp_path):
     # converted magnitude is non-negative and finite
     Y = res.converted["stft"]
     assert (Y >= -1e-5).all() and np.isfinite(Y).all()
+    # conversion quality guard: DTW-aligned MCD vs the true target utterance
+    # (4.06 dB measured; float16 feature storage must not degrade it)
+    assert res.mcd_vs_reference is not None
+    assert res.mcd_vs_reference < 6.0, res.mcd_vs_reference
 
 
 def test_metrics():
