@@ -149,3 +149,13 @@ def test_cli_convert_dir(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["n_files"] == 1
     assert os.path.isfile(str(tmp_path / "out" / "100001.wav"))
+
+
+def test_make_dictionary_mcep_feature(cfg, tmp_path):
+    from exemplars_vc_tpu.io import ArtifactStore
+
+    st = ArtifactStore(str(tmp_path / "mcep_store"))
+    art = make_dictionary(cfg, st, DATA, feat="mcep", nb_file=2)
+    assert art.feat_a.shape[-1] == 26      # order+1 mel-cepstral coefficients
+    assert (art.path_len > 0).all()
+    assert np.isfinite(art.feat_a).all()
