@@ -104,6 +104,17 @@ def cmd_demo(args):
     print(json.dumps({"wav": wav, "out": out, "samples": int(res.audio.shape[0])}))
 
 
+def cmd_freq_warp(args):
+    """Stage 02 DFW/AMF: estimate frequency warpings over the aligned set."""
+    from exemplars_vc_tpu.pipelines.freq_warp import run_freq_warp
+
+    cfg, store = _setup(args)
+    res = run_freq_warp(cfg, store, args.data, variant=args.variant,
+                        nb_file=args.nb_file)
+    summary = {k: list(v.shape) for k, v in res.items()}
+    print(json.dumps({"variant": args.variant, "artifacts": summary}))
+
+
 def cmd_convert_dir(args):
     """Batch/serving conversion: prepare dictionaries once, convert a whole
     directory of utterances with resident device arrays."""
@@ -200,6 +211,11 @@ def main(argv=None):
     p = sub.add_parser("warp-eval", help="stage 02: evaluate the trained warping net")
     _add_common(p)
     p.set_defaults(fn=cmd_warp_eval)
+
+    p = sub.add_parser("freq-warp", help="stage 02: DFW/AMF warping estimation")
+    _add_common(p)
+    p.add_argument("--variant", default="amf", choices=["amf", "dfw"])
+    p.set_defaults(fn=cmd_freq_warp)
 
     p = sub.add_parser("convert-dir", help="serving: batch-convert a directory")
     _add_common(p)

@@ -88,6 +88,87 @@ def dfw_warping(
     return np.asarray(r.path_i), np.asarray(r.path_j)
 
 
+def run_freq_warp(cfg, store, data_path: str, variant: str = "amf",
+                  nb_file: int | None = None, max_pairs: int = 512):
+    """Stage-02 entry: estimate frequency warpings over the aligned parallel
+    set and persist them (the reference's 02_* scripts end before producing
+    any warping; this completes the stage for both variants).
+
+    variant='amf': hamming→LPC→LSP anchors per aligned raw-frame pair →
+    piecewise-linear warping; persists per-pair anchors + the mean curve.
+    variant='dfw': frequency-axis DTW on aligned |STFT| pairs → averaged
+    warping curve."""
+    from exemplars_vc_tpu.dsp.stft import frame_signal
+    from exemplars_vc_tpu.io import load_speaker
+    from exemplars_vc_tpu.obs import get_logger
+    from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+    from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
+
+    log = get_logger()
+    nb = nb_file if nb_file is not None else cfg.misc.nb_file
+    key = f"freq_warp_{variant}_{cfg.data.src}2{cfg.data.tar}_{nb}"
+    if store.has(key):
+        return store.load(key)
+
+    art = make_dictionary(cfg, store, data_path, nb_file=nb)
+    m = cfg.mcep
+    rngsel = np.random.default_rng(0)
+
+    if variant == "amf":
+        src_sigs, _ = load_speaker(data_path, cfg.data.src, nb_file=nb)
+        tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb)
+        fa, fb = [], []
+        for n in range(len(src_sigs)):
+            ln = int(art.path_len[n])
+            if ln == 0:
+                continue
+            take = rngsel.choice(ln, size=min(ln, max_pairs // len(src_sigs) + 1),
+                                 replace=False)
+            frames_a = np.asarray(frame_signal(
+                jnp.asarray(src_sigs[n], jnp.float32), m.frame_length, m.hop_length))
+            frames_b = np.asarray(frame_signal(
+                jnp.asarray(tar_sigs[n], jnp.float32), m.frame_length, m.hop_length))
+            ia = np.clip(art.path_i[n, take], 0, frames_a.shape[0] - 1)
+            ib = np.clip(art.path_j[n, take], 0, frames_b.shape[0] - 1)
+            fa.append(frames_a[ia])
+            fb.append(frames_b[ib])
+        FA = jnp.asarray(np.concatenate(fa)[:max_pairs])
+        FB = jnp.asarray(np.concatenate(fb)[:max_pairs])
+        anchors = np.asarray(amf_warping(FA, FB, order=20))
+        result = {
+            "anchors": anchors,
+            "mean_anchors": anchors.mean(axis=0),
+        }
+    elif variant == "dfw":
+        src_f = build_conversion_dicts(cfg, store, data_path, cfg.data.src, nb_file=nb)
+        tar_f = build_conversion_dicts(cfg, store, data_path, cfg.data.tar, nb_file=nb)
+        sa, sb = [], []
+        for n in range(art.path_len.shape[0]):
+            ln = int(art.path_len[n])
+            if ln == 0:
+                continue
+            take = rngsel.choice(ln, size=min(ln, max_pairs // art.path_len.shape[0] + 1),
+                                 replace=False)
+            ia = np.clip(art.path_i[n, take], 0, src_f.feats["stft"].shape[1] - 1)
+            ib = np.clip(art.path_j[n, take], 0, tar_f.feats["stft"].shape[1] - 1)
+            sa.append(src_f.feats["stft"][n][ia])
+            sb.append(tar_f.feats["stft"][n][ib])
+        SA = jnp.asarray(np.concatenate(sa)[:max_pairs], jnp.float32)
+        SB = jnp.asarray(np.concatenate(sb)[:max_pairs], jnp.float32)
+        pi, pj = dfw_warping(SA, SB)
+        n_bins = SA.shape[1]
+        curves = np.stack([
+            warping_curve_from_path(pi[i], pj[i], n_bins) for i in range(pi.shape[0])
+        ])
+        result = {"curves": curves, "mean_curve": curves.mean(axis=0)}
+    else:
+        raise ValueError(f"unknown warping variant {variant!r}")
+
+    store.save(key, **result)
+    log.info("freq-warp[%s]: saved %s", variant, key)
+    return result
+
+
 def warping_curve_from_path(path_i: np.ndarray, path_j: np.ndarray, n_bins: int) -> np.ndarray:
     """Collapse a DFW path to a function tar_bin(src_bin) by averaging the
     path's j per i (host-side, small)."""
