@@ -94,8 +94,10 @@ class NmfConfig:
     beta_loss: str = "frobenius"    # "frobenius" | "kullback-leibler"
     tol: float = 1e-4
     max_iter: int = 150
-    # "auto": mu_pallas on TPU (4.9x faster at 100k-frame dictionaries), mu on
-    # CPU; explicit: "mu" | "mu_pallas" | "cd"/"nnls" | "qr"
+    # "auto" resolves to the XLA mu solver (bench_kernels.py with proper
+    # device-side materialization: XLA 0.157 s vs Pallas 0.245 s for 50
+    # iterations at K=100k, equal at K=7.4k); explicit: "mu" | "mu_pallas" |
+    # "cd"/"nnls" | "qr"
     solver: str = "auto"
     griffin_lim_iters: int = 300    # reference 04_align_n_nmf.py:187
     # "correct": multiplicative residual log r = log X - log(A·H)  (default)

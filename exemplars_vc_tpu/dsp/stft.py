@@ -25,10 +25,6 @@ from exemplars_vc_tpu.dsp import fft as _fft
 from exemplars_vc_tpu.dsp.windows import get_window
 
 
-def n_frames_centered(n_samples: int, hop_length: int) -> int:
-    return 1 + n_samples // hop_length
-
-
 @partial(jax.jit, static_argnames=("frame_length", "hop_length"))
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
     """(T,) -> (n_frames, frame_length), no padding (librosa.util.frame).

@@ -116,10 +116,12 @@ def nmf_activations(
     )
     # remainder iterations when max_iter is not a multiple of check_every
     rem = max_iter - n_blocks * check_every
+    n_iter = blocks * check_every
     if rem:
         H = jax.lax.fori_loop(0, rem, lambda _, h: step(h), H)
         err = frob_error(H)
-    return NmfState(H, blocks * check_every, err)
+        n_iter = n_iter + rem
+    return NmfState(H, n_iter, err)
 
 
 @partial(jax.jit, static_argnames=("mode",))
@@ -132,18 +134,23 @@ def residual_compensation(
     residual (log r = log X − log X̂), which is what residual compensation
     means in the exemplar-VC formulation.
 
-    mode="reference": R = (H·A) − X with NaN-for-negatives semantics
-    reproduced from ``04_align_n_nmf.py:292-299`` (log of a difference that
-    can be negative, NaN→0 before use at ``:367-373``) — kept as a documented
-    compatibility quirk (SURVEY §7.3.6).
+    mode="reference": byte-faithful reproduction of the reference quirk
+    (``04_align_n_nmf.py:292-299, 367-373``): it stores r = log(X̂ − X), zeroes
+    the NaNs from negative differences, then composes exp(log Y + log r) — so
+    the effective multiplicative factor is r itself where r > 0, exactly 0
+    where r == 0 (log 0 → −inf → exp → 0), and **NaN where 0 < X̂−X < 1**
+    (log of a negative r). The NaNs are part of the reference's actual output
+    and are reproduced here; use this mode only for comparing against
+    reference artifacts.
     """
     Xhat = jnp.dot(H, A, preferred_element_type=X.dtype)
     if mode == "correct":
         return X / jnp.maximum(Xhat, _EPS)
     elif mode == "reference":
         diff = Xhat - X
-        logR = jnp.log(diff)  # NaN where diff < 0, as in the reference
-        return jnp.where(jnp.isnan(logR), 0.0, jnp.exp(jnp.nan_to_num(logR)))
+        r = jnp.where(diff > 0, jnp.log(diff), 0.0)   # log(neg) NaN → 0
+        # exp(log(r)): r>0 → r; r==0 → 0; r<0 → NaN (faithfully propagated)
+        return jnp.exp(jnp.log(r))
     raise ValueError(f"unknown residual mode {mode!r}")
 
 

@@ -258,7 +258,9 @@ def nmf_activations_pallas(
         cond, body, (H0, jnp.int32(0), err_init, jnp.bool_(False))
     )
     rem = max_iter - n_blocks * check_every
+    n_iter = blocks * check_every
     if rem:
         H = jax.lax.fori_loop(0, rem, lambda _, h: mu_step(h), H)
         err = frob_error(H)
-    return NmfState(H[:F, :K], blocks * check_every, err)
+        n_iter = n_iter + rem
+    return NmfState(H[:F, :K], n_iter, err)

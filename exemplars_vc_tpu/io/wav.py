@@ -30,12 +30,17 @@ def read_wav(path: str, dtype=np.float64) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     raw = None
+    sub_format = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE and len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+                # bytes of the SubFormat GUID (1 = PCM, 3 = IEEE float)
+                sub_format = struct.unpack("<H", body[24:26])[0]
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -43,10 +48,19 @@ def read_wav(path: str, dtype=np.float64) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:
+        audio_format = sub_format if sub_format is not None else 1
 
-    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):  # IEEE float
+    # tolerate truncated files: keep only whole frames
+    frame_bytes = max(1, (bits // 8) * max(n_channels, 1))
+    if len(raw) % frame_bytes:
+        raw = raw[: (len(raw) // frame_bytes) * frame_bytes]
+
+    if audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise ValueError(f"{path}: unsupported float bit depth {bits}")
         x = np.frombuffer(raw, dtype=np.float32).astype(dtype)
-    elif audio_format in (1, 0xFFFE):
+    elif audio_format == 1:
         pcm_dtype = _PCM_DTYPES.get(bits)
         if pcm_dtype is None:
             raise ValueError(f"{path}: unsupported bit depth {bits}")

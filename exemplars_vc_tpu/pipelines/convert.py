@@ -77,10 +77,10 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
     the reference's unfinished QRMF variant, 04_align_n_qrmf.py)."""
     solver = cfg.nmf.solver
     if solver == "auto":
-        # measured on v5e (K=100k): Pallas-fused MU 0.22 s vs XLA 1.07 s for
-        # 50 iterations; on CPU the XLA path is faster and float64-capable
-        is_tpu = jax.default_backend() != "cpu"
-        solver = "mu_pallas" if (is_tpu and cfg.nmf.beta_loss == "frobenius") else "mu"
+        # bench_kernels.py (fresh inputs, device-side materialization): the
+        # XLA mu loop matches or beats the Pallas kernels at production and
+        # 100k scales, so auto = mu; the Pallas kernels remain explicit opt-ins
+        solver = "mu"
     if solver == "mu":
         return nmf_activations(X, A, beta_loss=cfg.nmf.beta_loss,
                                tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter)

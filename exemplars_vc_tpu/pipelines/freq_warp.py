@@ -118,12 +118,14 @@ def run_freq_warp(cfg, store, data_path: str, variant: str = "amf",
         src_sigs, _ = load_speaker(data_path, cfg.data.src, nb_file=nb)
         tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb)
         fa, fb = [], []
-        for n in range(len(src_sigs)):
+        # the dictionary only has min(len(src), len(tar)) pair rows
+        for n in range(art.path_len.shape[0]):
             ln = int(art.path_len[n])
             if ln == 0:
                 continue
-            take = rngsel.choice(ln, size=min(ln, max_pairs // len(src_sigs) + 1),
-                                 replace=False)
+            take = rngsel.choice(
+                ln, size=min(ln, max_pairs // art.path_len.shape[0] + 1),
+                replace=False)
             frames_a = np.asarray(frame_signal(
                 jnp.asarray(src_sigs[n], jnp.float32), m.frame_length, m.hop_length))
             frames_b = np.asarray(frame_signal(

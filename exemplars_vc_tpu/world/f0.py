@@ -31,12 +31,6 @@ from exemplars_vc_tpu.dsp import fft as _fft
 import numpy as np
 
 
-def _frame_centers(n_samples: int, sr: int, frame_period_ms: float) -> np.ndarray:
-    hop = int(round(sr * frame_period_ms / 1000.0))
-    n_frames = n_samples // hop + 1
-    return np.arange(n_frames) * hop
-
-
 def _extract_segments(x: jnp.ndarray, centers: jnp.ndarray, length: int) -> jnp.ndarray:
     """Segments of ``length`` centered at each position (edge-padded)."""
     pad = length // 2

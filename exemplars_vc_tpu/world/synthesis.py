@@ -85,10 +85,10 @@ def synthesize(
     # rather than zero-phase pulses (less buzzy, natural phase dispersion)
     n_ceps = 64
     log_half = 0.5 * jnp.log(jnp.maximum(sp, 1e-20))
-    full = jnp.concatenate([log_half, log_half[:, -2:0:-1]], axis=-1)
     from exemplars_vc_tpu.dsp import fft as _fft
 
-    ceps = _fft.irfft(full, n=full.shape[-1])[:, 1:n_ceps]       # (F, n_ceps-1)
+    # real cepstrum: irfft of the half log-spectrum (real, symmetric)
+    ceps = _fft.irfft(log_half, n=2 * (B - 1))[:, 1:n_ceps]      # (F, n_ceps-1)
     tau = jnp.arange(1, n_ceps, dtype=sp.dtype)                  # (τ,)
     omega_k = 2.0 * jnp.pi * harm_hz / sr                        # (F, K)
     sin_basis = jnp.sin(omega_k[:, :, None] * tau[None, None, :])

@@ -78,6 +78,11 @@ void decode_one(const char* path, Decoded* out) {
       n_channels = rd_u16(body + 2);
       sample_rate = rd_u32(body + 4);
       bits = rd_u16(body + 14);
+      if (audio_format == 0xFFFE && body_size >= 26) {
+        // WAVE_FORMAT_EXTENSIBLE: real format = first 2 bytes of SubFormat
+        // GUID (1 = PCM, 3 = IEEE float) — matches io/wav.py
+        audio_format = rd_u16(body + 24);
+      }
     } else if (std::memcmp(bytes + pos, "data", 4) == 0) {
       raw = body;
       raw_size = body_size;
@@ -99,14 +104,14 @@ void decode_one(const char* path, Decoded* out) {
   out->sample_rate = static_cast<int>(sample_rate);
 
   const double inv_ch = 1.0 / n_channels;
-  if ((audio_format == 1 || audio_format == 0xFFFE) && bits == 16) {
+  if (audio_format == 1 && bits == 16) {
     const int16_t* pcm = reinterpret_cast<const int16_t*>(raw);
     for (size_t i = 0; i < n_total; ++i) {
       double acc = 0.0;
       for (int c = 0; c < n_channels; ++c) acc += pcm[i * n_channels + c];
       out->samples[i] = acc * inv_ch / 32768.0;
     }
-  } else if ((audio_format == 1 || audio_format == 0xFFFE) && bits == 32) {
+  } else if (audio_format == 1 && bits == 32) {
     const int32_t* pcm = reinterpret_cast<const int32_t*>(raw);
     for (size_t i = 0; i < n_total; ++i) {
       double acc = 0.0;

@@ -73,11 +73,22 @@ def test_residual_and_convert_roundtrip():
     np.testing.assert_allclose(np.asarray(Y), X, rtol=1e-4, atol=1e-6)
 
 
-def test_residual_reference_mode_no_nans():
+def test_residual_reference_mode_semantics():
+    """The compat mode reproduces the reference's exp(log Y + log r) factor
+    exactly (04_align_n_nmf.py:292-299,367-373): r where r=log(X̂−X)>0,
+    0 where the diff is non-positive, NaN where 0<X̂−X<1."""
     X, A = _problem(seed=5)
     st = nmf_activations(jnp.asarray(X), jnp.asarray(A))
-    R = residual_compensation(jnp.asarray(X), st.H, jnp.asarray(A), mode="reference")
-    assert bool(jnp.isfinite(R).all())
+    R = np.asarray(
+        residual_compensation(jnp.asarray(X), st.H, jnp.asarray(A), mode="reference")
+    )
+    diff = np.asarray(st.H) @ A - X
+    big = diff > 1.0
+    mid = (diff > 0) & (diff < 1.0)
+    neg = diff < 0
+    np.testing.assert_allclose(R[big], np.log(diff[big]), rtol=1e-4)
+    assert np.isnan(R[mid]).all()
+    np.testing.assert_array_equal(R[neg], 0.0)
 
 
 def test_convert_without_residual():
