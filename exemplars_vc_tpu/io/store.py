@@ -30,6 +30,7 @@ def load_speaker(
     nb_file: int | None = None,
     cache_dir: str | None = None,
     use_native: bool = True,
+    cpu_rate: float = 0.6,
 ) -> tuple[list[np.ndarray], int]:
     """Load all wavs of one speaker → (list of float64 signals, sample_rate).
 
@@ -62,7 +63,10 @@ def load_speaker(
             from exemplars_vc_tpu.io import native
 
             if native.available():
-                sigs, sr = native.read_wavs(paths)
+                # decode-thread throttle, the reference's cpu_rate knob
+                # (config/config:47, utils.py:183: workers = cpu_rate * cores)
+                n_threads = max(1, int(cpu_rate * (os.cpu_count() or 1)))
+                sigs, sr = native.read_wavs(paths, n_threads=n_threads)
         except Exception:
             sigs = []
     if not sigs:

@@ -128,7 +128,8 @@ def build_conversion_dicts(
         lens = z.pop("lens")
         return ConversionFeatures(kind=kind, feats=dict(z), lens=lens)
 
-    sigs, _ = load_speaker(data_path, speaker, nb_file=nb)
+    sigs, _ = load_speaker(data_path, speaker, nb_file=nb,
+                           cpu_rate=cfg.misc.cpu_rate)
     with Timer("conv-features") as t:
         if kind == "stft":
             stacked, lens = extract_stft_features_stacked(sigs, cfg)

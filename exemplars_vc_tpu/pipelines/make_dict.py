@@ -112,8 +112,10 @@ def make_dictionary(
         return DictionaryArtifacts(**z)
 
     with Timer("load") as t_load:
-        src_sigs, sr = load_speaker(data_path, cfg.data.src, nb_file=nb)
-        tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb)
+        src_sigs, sr = load_speaker(data_path, cfg.data.src, nb_file=nb,
+                                    cpu_rate=cfg.misc.cpu_rate)
+        tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb,
+                                   cpu_rate=cfg.misc.cpu_rate)
     n = min(len(src_sigs), len(tar_sigs))
     src_sigs, tar_sigs = src_sigs[:n], tar_sigs[:n]
     log.info("loaded %d utterance pairs in %.2fs", n, t_load.elapsed)
