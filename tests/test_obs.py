@@ -1,0 +1,39 @@
+import json
+import os
+import time
+
+from exemplars_vc_tpu.obs import Timer, get_logger, new_run_dir
+from exemplars_vc_tpu.obs.scalars import ScalarWriter, read_scalars
+
+
+def test_timer_measures():
+    with Timer("t", sync=False) as t:
+        time.sleep(0.05)
+    assert 0.04 < t.elapsed < 1.0
+
+
+def test_new_run_dir_increments(tmp_path):
+    a = new_run_dir(str(tmp_path))
+    b = new_run_dir(str(tmp_path))
+    assert os.path.basename(a) == "0" and os.path.basename(b) == "1"
+
+
+def test_scalar_writer_roundtrip(tmp_path):
+    with ScalarWriter(str(tmp_path)) as w:
+        w.scalar("loss", 1.5, step=0)
+        w.scalar("loss", 1.2, step=1)
+        w.summary("weights", [1.0, 2.0, 3.0], step=1)
+    events = read_scalars(os.path.join(str(tmp_path), "scalars.jsonl"))
+    assert len(events) == 3
+    assert events[0]["tag"] == "loss" and events[0]["value"] == 1.5
+    assert events[2]["mean"] == 2.0 and events[2]["n"] == 3
+
+
+def test_get_logger_idempotent(tmp_path):
+    lg1 = get_logger("evc_test_logger", log_dir=str(tmp_path))
+    lg2 = get_logger("evc_test_logger")
+    assert lg1 is lg2
+    lg1.info("hello")
+    files = os.listdir(str(tmp_path))
+    assert len(files) == 1
+    assert "hello" in open(os.path.join(str(tmp_path), files[0])).read()
