@@ -132,3 +132,17 @@ def test_nnls_close_to_scipy():
     resid_ref = np.linalg.norm(h_ref @ A - x)
     assert resid <= resid_ref * 1.01 + 1e-8
     assert (H >= 0).all()
+
+
+def test_bf16_work_dtype_close_to_f32():
+    import jax.numpy as jnp2
+
+    X, A = _problem(seed=10, dtype=np.float32)
+    f32 = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0.0, max_iter=100)
+    bf16 = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0.0, max_iter=100,
+                           work_dtype=jnp2.bfloat16)
+    assert bf16.H.dtype == jnp.float32  # result restored to the input dtype
+    # bf16 storage converges to within ~1% of the f32 fixed point's error
+    assert float(bf16.error) < 1.05 * float(f32.error) + 1e-3
+    rel = np.linalg.norm(np.asarray(bf16.H) - np.asarray(f32.H)) / np.linalg.norm(np.asarray(f32.H))
+    assert rel < 0.08, rel
