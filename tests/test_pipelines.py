@@ -159,3 +159,17 @@ def test_make_dictionary_mcep_feature(cfg, tmp_path):
     assert art.feat_a.shape[-1] == 26      # order+1 mel-cepstral coefficients
     assert (art.path_len > 0).all()
     assert np.isfinite(art.feat_a).all()
+
+
+def test_serve_converter_reuses_dictionaries(cfg, store, tmp_path):
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    conv = Converter(cfg, store, DATA, nb_file=4)
+    r1 = conv.convert(os.path.join(DATA, "SF1", "100001.wav"),
+                      out_path=str(tmp_path / "s1.wav"), synth_iters=10)
+    r2 = conv.convert(os.path.join(DATA, "SF1", "100002.wav"),
+                      out_path=str(tmp_path / "s2.wav"), synth_iters=10)
+    assert np.isfinite(r1.audio).all() and np.isfinite(r2.audio).all()
+    assert r1.audio.shape != r2.audio.shape  # different utterances
+    assert os.path.isfile(str(tmp_path / "s1.wav"))
+    assert r1.nmf_iters > 0 and r2.nmf_iters > 0
