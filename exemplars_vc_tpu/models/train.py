@@ -72,13 +72,32 @@ def _eval_loss(params, x, y, mask):
     return jnp.sum(jnp.abs(pred - y) * mask[..., None])
 
 
-def save_params(store: ArtifactStore, name: str, params) -> None:
+def save_params(store: ArtifactStore, name: str, params, backend: str = "npz") -> None:
+    """Persist a parameter pytree.
+
+    backend="npz" (default): flat-leaf arrays in the artifact store — simple,
+    resumable, dependency-free. backend="orbax": a StandardCheckpointer
+    directory under the store root for ecosystem interop (async-capable,
+    sharding-aware)."""
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(store.root, f"{name}_orbax"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, params, force=True)
+        ckptr.wait_until_finished()
+        return
     leaves, treedef = jax.tree_util.tree_flatten(params)
     store.save(name, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
     store.save_json(name + "_meta", {"n_leaves": len(leaves)})
 
 
-def load_params(store: ArtifactStore, name: str, like) -> dict:
+def load_params(store: ArtifactStore, name: str, like, backend: str = "npz") -> dict:
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(store.root, f"{name}_orbax"))
+        return ocp.StandardCheckpointer().restore(path, like)
     z = store.load(name)
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z))]
     treedef = jax.tree_util.tree_structure(like)

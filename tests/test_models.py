@@ -133,3 +133,16 @@ def test_bidirectional_forward_and_future_dependence():
     assert y1.shape == (10, 20)
     # with a backward pass, early outputs depend on future inputs
     assert float(jnp.abs(y1[0] - y2[0]).max()) > 1e-6
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from exemplars_vc_tpu.models.train import load_params, save_params
+
+    cfg = WarpingNetConfig(in_size=4, hidden_size=8, out_size=4, nb_lstm_layers=1)
+    params = init_warping_params(jax.random.PRNGKey(0), cfg)
+    store = ArtifactStore(str(tmp_path))
+    save_params(store, "ck", params, backend="orbax")
+    like = init_warping_params(jax.random.PRNGKey(1), cfg)
+    back = load_params(store, "ck", like, backend="orbax")
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
