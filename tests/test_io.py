@@ -59,3 +59,55 @@ def test_artifact_store(tmp_path):
     np.testing.assert_array_equal(back["a"], np.arange(5))
     store.save_json("meta", {"n": 3})
     assert store.load_json("meta")["n"] == 3
+
+
+def test_bucketed_signal_boundaries():
+    from exemplars_vc_tpu.io.store import bucketed_signal
+
+    hop, bucket = 80, 128
+    step = hop * bucket
+    # exact multiple stays put
+    x = np.ones(step)
+    p, n = bucketed_signal(x, hop, bucket)
+    assert len(p) == step and n == 1 + step // hop
+    # one sample over rounds up a full bucket
+    p2, n2 = bucketed_signal(np.ones(step + 1), hop, bucket)
+    assert len(p2) == 2 * step and n2 == 1 + (step + 1) // hop
+    # empty signal gets one bucket
+    p3, _ = bucketed_signal(np.zeros(0), hop, bucket)
+    assert len(p3) == step
+
+
+def test_wav_extensible_float_format(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE with a float SubFormat GUID must decode as
+    float (regression for the 0xFFFE ambiguity)."""
+    import struct
+
+    sr = 16000
+    x = (0.25 * np.sin(2 * np.pi * 220 * np.arange(1000) / sr)).astype(np.float32)
+    body = x.tobytes()
+    # extensible fmt chunk: base(16) + cbSize(2) validBits(2) chMask(4) GUID(16);
+    # GUID starts with the real format code (3 = IEEE float)
+    sub_guid = struct.pack("<H", 3) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0) + sub_guid
+    p = tmp_path / "ext.wav"
+    with open(p, "wb") as f:
+        data_len = len(body)
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_len) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", data_len) + body)
+    y, got_sr = read_wav(str(p))
+    assert got_sr == sr
+    np.testing.assert_allclose(y, x.astype(np.float64), atol=1e-6)
+
+
+def test_wav_truncated_data_chunk(tmp_path):
+    sr = 16000
+    x = np.zeros(100)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, sr)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-3])   # cut mid-sample
+    y, _ = read_wav(p)              # must not raise; trims to whole frames
+    assert len(y) in (98, 99)
