@@ -1,0 +1,82 @@
+"""Streaming conversion: low-latency chunked exemplar VC.
+
+New capability beyond the reference (which is strictly batch): convert audio
+in fixed-size frame chunks as they arrive.
+
+Why this is exact for the decomposition: with a FIXED dictionary, the MU
+update for activation row f uses only X[f] and A — rows are independent — so
+solving chunk-by-chunk reaches the same per-frame fixed point as the batch
+solve. Only synthesis needs temporal context: Griffin-Lim runs on the chunk
+plus a left-context of already-converted frames, and only the new region is
+emitted (overlap-save), which keeps phase coherent across seams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.dsp import griffin_lim
+from exemplars_vc_tpu.factorize import convert_features
+from exemplars_vc_tpu.pipelines.convert import _solve_activations
+
+
+class StreamingConverter:
+    """Push frame chunks of |STFT| magnitudes, receive audio chunks.
+
+    >>> sc = StreamingConverter(cfg, A, B, chunk_frames=128, context_frames=32)
+    >>> audio = sc.push(mag_chunk)       # (chunk·hop,) samples per push
+    >>> tail = sc.flush()
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        A: np.ndarray,
+        B: np.ndarray,
+        chunk_frames: int = 128,
+        context_frames: int = 32,
+        synth_iters: int = 60,
+    ):
+        self.cfg = cfg
+        self.A = jnp.asarray(A, jnp.float32)
+        self.B = jnp.asarray(B, jnp.float32)
+        self.chunk_frames = chunk_frames
+        self.context_frames = context_frames
+        self.synth_iters = synth_iters
+        self._context_mag: np.ndarray | None = None   # converted left context
+        self._pending: list[np.ndarray] = []
+
+    def _convert_block(self, X: np.ndarray) -> np.ndarray:
+        st = _solve_activations(jnp.asarray(X, jnp.float32), self.A, self.cfg)
+        return np.asarray(convert_features(st.H, self.B))
+
+    def _synthesize(self, mag_new: np.ndarray) -> np.ndarray:
+        m = self.cfg.mcep
+        hop = m.hop_length
+        if self._context_mag is None:
+            full = mag_new
+            skip = 0
+        else:
+            full = np.concatenate([self._context_mag, mag_new], axis=0)
+            skip = self._context_mag.shape[0]
+        y = np.asarray(griffin_lim(
+            jnp.asarray(full, jnp.float32), n_fft=m.frame_length,
+            hop_length=hop, n_iter=self.synth_iters,
+            length=full.shape[0] * hop,
+        ))
+        ctx = self.context_frames
+        self._context_mag = full[-ctx:] if full.shape[0] >= ctx else full
+        # emit only the samples belonging to the new frames
+        return y[skip * hop : (skip + mag_new.shape[0]) * hop]
+
+    def push(self, mag_chunk: np.ndarray) -> np.ndarray:
+        """(F_c, n_bins) converted → audio samples for those frames."""
+        converted = self._convert_block(mag_chunk)
+        return self._synthesize(converted)
+
+    def flush(self) -> np.ndarray:
+        """Nothing is buffered beyond context; provided for API symmetry."""
+        return np.zeros(0, dtype=np.float32)

@@ -1,0 +1,51 @@
+import os
+
+import numpy as np
+import pytest
+
+from exemplars_vc_tpu.config import load_config
+from exemplars_vc_tpu.pipelines.stream import StreamingConverter
+
+DATA = "/root/reference/data"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(DATA, "SF1")), reason="reference data missing"
+)
+
+
+def _dicts():
+    rng = np.random.default_rng(0)
+    K, D = 256, 201
+    A = np.abs(rng.standard_normal((K, D))).astype(np.float32)
+    B = np.abs(rng.standard_normal((K, D))).astype(np.float32)
+    return A, B
+
+
+def test_streaming_nmf_matches_batch():
+    """Row independence: chunked activations reproduce the batch conversion."""
+    cfg = load_config(overrides=["nmf.max_iter=80", "nmf.tol=0"])
+    A, B = _dicts()
+    rng = np.random.default_rng(1)
+    X = np.abs(rng.standard_normal((96, 201))).astype(np.float32)
+
+    sc = StreamingConverter(cfg, A, B, chunk_frames=32)
+    chunks = [sc._convert_block(X[i : i + 32]) for i in range(0, 96, 32)]
+    streamed = np.concatenate(chunks, axis=0)
+    batch = sc._convert_block(X)
+    np.testing.assert_allclose(streamed, batch, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_audio_continuity():
+    cfg = load_config(overrides=["nmf.max_iter=30"])
+    A, B = _dicts()
+    rng = np.random.default_rng(2)
+    sc = StreamingConverter(cfg, A, B, chunk_frames=64, context_frames=16,
+                            synth_iters=20)
+    outs = []
+    for _ in range(3):
+        mag = np.abs(rng.standard_normal((64, 201))).astype(np.float32)
+        y = sc.push(mag)
+        assert y.shape == (64 * 80,)
+        assert np.isfinite(y).all()
+        outs.append(y)
+    total = np.concatenate(outs)
+    assert total.shape == (3 * 64 * 80,)
