@@ -84,6 +84,7 @@ class WorldConfig:
     f0_floor: float = 71.0
     f0_ceil: float = 800.0
     fft_size: int = 1024
+    f0_method: str = "ncc"   # "ncc" (dio-style greedy) | "tracked" (Viterbi lattice)
 
 
 @dataclass(frozen=True)

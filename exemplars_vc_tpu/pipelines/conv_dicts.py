@@ -99,6 +99,7 @@ def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray
         frame_period_ms=w.frame_period_ms,
         f0_floor=w.f0_floor, f0_ceil=w.f0_ceil,
         fft_size=w.fft_size, refine_f0=w.f0_is_refined,
+        f0_method=w.f0_method,
     )
     n = len(sig) // hop + 1
     return {

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from exemplars_vc_tpu.world.cheaptrick import cheaptrick
 from exemplars_vc_tpu.world.d4c import d4c_aperiodicity
-from exemplars_vc_tpu.world.f0 import estimate_f0, refine_f0_stonemask
+from exemplars_vc_tpu.world.f0 import estimate_f0, estimate_f0_tracked, refine_f0_stonemask
 
 
 class WorldFeatures(NamedTuple):
@@ -32,13 +32,21 @@ def analyze(
     f0_ceil: float = 800.0,
     fft_size: int = 1024,
     refine_f0: bool = True,
+    f0_method: str = "ncc",
 ) -> WorldFeatures:
     x = x.astype(jnp.float32)
     hop = int(round(sr * frame_period_ms / 1000.0))
-    f0, _ = estimate_f0(
-        x, sr=sr, frame_period_ms=frame_period_ms,
-        f0_floor=f0_floor, f0_ceil=f0_ceil,
-    )
+    if f0_method == "tracked":
+        # candidate-lattice Viterbi contour (harvest-style; robust to noise)
+        f0, _ = estimate_f0_tracked(
+            x, sr=sr, frame_period_ms=frame_period_ms,
+            f0_floor=f0_floor, f0_ceil=f0_ceil,
+        )
+    else:
+        f0, _ = estimate_f0(
+            x, sr=sr, frame_period_ms=frame_period_ms,
+            f0_floor=f0_floor, f0_ceil=f0_ceil,
+        )
     if refine_f0:   # reference config f0_is_refined (config/config:43)
         f0 = refine_f0_stonemask(x, f0, sr=sr, frame_period_ms=frame_period_ms)
     centers = jnp.arange(f0.shape[0]) * hop

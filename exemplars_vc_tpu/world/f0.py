@@ -114,6 +114,116 @@ def _median5(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.median(stack, axis=0)
 
 
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len", "n_cand"))
+def _ncc_candidate_lattice(
+    x: jnp.ndarray,
+    sr: int,
+    frame_period_ms: float,
+    f0_floor: float,
+    f0_ceil: float,
+    seg_len: int,
+    n_cand: int = 5,
+):
+    """Top-``n_cand`` NCC local maxima per frame → (freqs (F,C), scores (F,C))."""
+    hop = int(round(sr * frame_period_ms / 1000.0))
+    n_frames = x.shape[0] // hop + 1
+    centers = jnp.arange(n_frames) * hop
+    seg = _extract_segments(x, centers, seg_len)
+    seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
+
+    n_fft = 2 * seg_len
+    magsq = _fft.rfft_magsq(seg, n=n_fft)
+    ac = _fft.irfft(magsq, n=n_fft)[:, :seg_len]
+    sq = seg * seg
+    csum = jnp.cumsum(sq, axis=-1)
+    total = csum[:, -1:]
+    tau = jnp.arange(seg_len)
+    e0 = jnp.take_along_axis(
+        jnp.pad(csum, ((0, 0), (1, 0))), (seg_len - tau)[None, :].repeat(seg.shape[0], 0), axis=-1
+    )
+    e1 = total - jnp.take_along_axis(
+        jnp.pad(csum, ((0, 0), (1, 0))), tau[None, :].repeat(seg.shape[0], 0), axis=-1
+    )
+    ncc = ac / jnp.sqrt(jnp.maximum(e0 * e1, 1e-12))
+
+    lag_min = jnp.int32(jnp.floor(sr / f0_ceil))
+    lag_max = jnp.int32(jnp.ceil(sr / f0_floor))
+    valid = (tau >= lag_min) & (tau <= jnp.minimum(lag_max, seg_len - 2))
+    nccm = jnp.where(valid[None, :], ncc, -1.0)
+    local_max = (
+        (nccm >= jnp.pad(nccm, ((0, 0), (1, 0)))[:, :-1])
+        & (nccm >= jnp.pad(nccm, ((0, 0), (0, 1)))[:, 1:])
+    )
+    cand_scores, cand_lags = jax.lax.top_k(jnp.where(local_max, nccm, -1.0), n_cand)
+    freqs = sr / jnp.maximum(cand_lags.astype(jnp.float32), 1.0)
+    energy_gate = (total[:, 0] > 1e-6 * jnp.maximum(jnp.max(total), 1e-12))
+    return freqs, cand_scores, energy_gate
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len", "n_cand"))
+def estimate_f0_tracked(
+    x: jnp.ndarray,
+    sr: int = 16000,
+    frame_period_ms: float = 5.0,
+    f0_floor: float = 71.0,
+    f0_ceil: float = 800.0,
+    seg_len: int = 512,
+    n_cand: int = 5,
+    voicing_threshold: float = 0.45,
+    transition_weight: float = 6.0,
+    voicing_switch_cost: float = 1.0,
+):
+    """F0 via candidate-lattice Viterbi tracking (harvest-style contour
+    smoothing; the aux-kernel family of align.viterbi with per-frame
+    transitions). States per frame: n_cand pitch candidates + 1 unvoiced.
+
+    Emission: NCC score (voiced) / voicing_threshold (unvoiced).
+    Transition: −transition_weight·|log f_t − log f_{t−1}| between voiced
+    states, −voicing_switch_cost on voiced↔unvoiced flips. Returns
+    (f0 (F,), voiced (F,))."""
+    freqs, scores, energy_gate = _ncc_candidate_lattice(
+        x, sr, frame_period_ms, f0_floor, f0_ceil, seg_len, n_cand
+    )
+    F = freqs.shape[0]
+    S = n_cand + 1                      # last state = unvoiced
+    logf = jnp.log(jnp.maximum(freqs, 1.0))           # (F, C)
+    emit_v = jnp.where(scores > -0.5, scores, -5.0)   # (F, C)
+    emit_u = jnp.full((F, 1), voicing_threshold)
+    emissions = jnp.concatenate([emit_v, emit_u], axis=-1)  # (F, S)
+
+    def step(carry, t):
+        cum, ante_dummy = carry
+        lf_prev, lf_now = logf[t - 1], logf[t]        # (C,)
+        # voiced→voiced transition costs
+        dv = jnp.abs(lf_prev[:, None] - lf_now[None, :])        # (C, C)
+        trans = jnp.full((S, S), -voicing_switch_cost)
+        trans = trans.at[:n_cand, :n_cand].set(-transition_weight * dv)
+        trans = trans.at[n_cand, n_cand].set(0.0)
+        scores_t = cum[:, None] + trans                          # (S, S)
+        ante = jnp.argmax(scores_t, axis=0).astype(jnp.int32)
+        cum_new = jnp.max(scores_t, axis=0) + emissions[t]
+        return (cum_new, ante), ante
+
+    init = (emissions[0], jnp.zeros((S,), jnp.int32))
+    (cum_fin, _), antecedents = jax.lax.scan(step, init, jnp.arange(1, F))
+
+    last = jnp.argmax(cum_fin).astype(jnp.int32)
+
+    def back(state, ante_row):
+        return ante_row[state], state
+
+    first, path_rev = jax.lax.scan(back, last, antecedents[::-1])
+    states = jnp.concatenate([first[None], path_rev[::-1]])      # (F,)
+
+    picked_f0 = jnp.take_along_axis(
+        freqs, jnp.clip(states, 0, n_cand - 1)[:, None], axis=-1
+    )[:, 0]
+    voiced = (states < n_cand) & energy_gate
+    f0 = jnp.where(voiced, picked_f0, 0.0)
+    f0 = jnp.where((f0 >= f0_floor) & (f0 <= f0_ceil), f0, 0.0)
+    return f0, f0 > 0
+
+
 @partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len"))
 def estimate_f0(
     x: jnp.ndarray,

@@ -132,3 +132,43 @@ def test_analysis_on_real_audio(sf1_wav):
     assert 120 < med < 350, med
     assert bool(jnp.isfinite(feats.sp).all())
     assert bool(jnp.isfinite(feats.ap).all())
+
+
+def test_tracked_f0_matches_on_clean_tone():
+    from exemplars_vc_tpu.world.f0 import estimate_f0_tracked
+
+    sr = 16000
+    x = _voiced_signal(200.0, sr=sr, seconds=0.7)
+    f0, v = estimate_f0_tracked(jnp.asarray(x), sr=sr)
+    f0n, vn = np.asarray(f0), np.asarray(v)
+    interior = slice(10, len(f0n) - 10)
+    assert vn[interior].mean() > 0.9
+    est = np.median(f0n[interior][vn[interior]])
+    assert abs(est - 200.0) / 200.0 < 0.05, est
+
+
+def test_tracked_f0_rejects_octave_jumps():
+    """A corrupted mid-region must not drag the contour to an octave error:
+    the Viterbi transition cost keeps continuity where greedy picking flips."""
+    from exemplars_vc_tpu.world.f0 import estimate_f0_tracked
+
+    sr = 16000
+    x = _voiced_signal(180.0, sr=sr, seconds=0.9)
+    rng = np.random.default_rng(0)
+    x = x + 0.08 * rng.standard_normal(len(x)).astype(np.float32)  # noise
+    f0, v = estimate_f0_tracked(jnp.asarray(x), sr=sr)
+    f0n, vn = np.asarray(f0), np.asarray(v)
+    good = f0n[vn]
+    assert len(good) > 20
+    # no voiced frame may sit at the half/double octave of the median
+    med = np.median(good)
+    assert abs(med - 180.0) / 180.0 < 0.06
+    octave_frac = np.mean((np.abs(good - med / 2) < 10) | (np.abs(good - med * 2) < 20))
+    assert octave_frac < 0.05, octave_frac
+
+
+def test_tracked_f0_silence_unvoiced():
+    from exemplars_vc_tpu.world.f0 import estimate_f0_tracked
+
+    f0, v = estimate_f0_tracked(jnp.zeros(8000))
+    assert not bool(v.any())
