@@ -42,7 +42,38 @@ def run_pipeline(cfg, store, wav_path):
     return res
 
 
+def probe_device(timeout_s: int = 150) -> bool:
+    """Run a trivial device op in a subprocess with a timeout.
+
+    The axon TPU is single-tenant with sticky grants: a previously killed
+    client can wedge the device for tens of minutes, hanging every new
+    process inside its first device op. Probing in a subprocess lets us
+    detect that and fall back to a clearly-labeled CPU run instead of
+    hanging the benchmark driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and b"512" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu" and not probe_device():
+        log("WARNING: device probe hung — TPU grant wedged; falling back to CPU")
+        _os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
     import jax
 
     from exemplars_vc_tpu.config import load_config
