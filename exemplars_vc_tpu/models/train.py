@@ -111,7 +111,12 @@ def train_warping_net(
     nb_file: int | None = None,
     run_root: str | None = None,
     seed: int = 0,
+    data_parallel: bool = False,
 ) -> dict:
+    """Train the warping net. With ``data_parallel=True`` and multiple
+    devices, minibatches are sharded over the mesh ``data`` axis (parameters
+    replicated; XLA all-reduces the gradients) — the multi-chip training path
+    exercised by __graft_entry__.dryrun_multichip."""
     log = get_logger()
     src, tar, mask = make_warping_dataset(cfg, store, data_path, nb_file=nb_file)
     idx_train, idx_test = train_test_split(src.shape[0])
@@ -165,15 +170,42 @@ def train_warping_net(
     # minibatch of batch_size utterances per step (reference: one optimizer
     # step per utterance per epoch, 02_freq_warping_neural.py:161-191)
     mb = max(1, cfg.net.batch_size)
+
+    if data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from exemplars_vc_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(data=n_dev, dict_=1)
+        # minibatch must fill the data axis; round up to the device count
+        mb = max(mb, n_dev)
+        mb = (mb // n_dev) * n_dev
+        batch_sharding = NamedSharding(mesh, P("data", None, None))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+        def place_batch(x, y, m):
+            return (jax.device_put(x, batch_sharding),
+                    jax.device_put(y, batch_sharding),
+                    jax.device_put(m, NamedSharding(mesh, P("data", None))))
+    else:
+        def place_batch(x, y, m):
+            return x, y, m
     rng = np.random.default_rng(seed + 1)
     with Timer("train") as t_total:
         for epoch in range(cfg.net.nb_epoch):
             order = rng.permutation(n_train)
             tr_loss = 0.0
             for s in range(0, n_train, mb):
-                sel = jnp.asarray(order[s : s + mb])
+                idx = order[s : s + mb]
+                if len(idx) < mb:   # wrap the tail so sharded shapes stay fixed
+                    idx = np.resize(order, mb)  # cycles when mb > n_train
+                sel = jnp.asarray(idx)
+                bx, by, bm = place_batch(xs_tr[sel], ys_tr[sel], m_tr[sel])
                 params, opt_state, loss = _update(
-                    params, opt_state, xs_tr[sel], ys_tr[sel], m_tr[sel], optimizer
+                    params, opt_state, bx, by, bm, optimizer
                 )
                 tr_loss += float(loss)
             te_loss = float(_eval_loss(params, xs_te, ys_te, m_te))

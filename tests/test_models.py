@@ -146,3 +146,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_params(store, "ck", like, backend="orbax")
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(DATA, "SF1")), reason="no data")
+def test_train_warping_net_data_parallel(tmp_path):
+    """Data-parallel training over the 8 virtual devices must run and reach
+    losses comparable to the single-device path."""
+    from exemplars_vc_tpu.models.train import train_warping_net
+
+    cfg = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=4", "net.nb_epoch=3", "net.batch_size=8",
+    ])
+    store = ArtifactStore(str(tmp_path))
+    metrics = train_warping_net(cfg, store, DATA, nb_file=4, data_parallel=True)
+    assert metrics["epochs_run"] == 3
+    assert np.isfinite(metrics["best_test_loss"])
+    assert store.has("checkpoint_warping")
