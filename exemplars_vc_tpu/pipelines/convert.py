@@ -87,8 +87,11 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
     if solver == "mu_pallas":
         from exemplars_vc_tpu.factorize.nmf_pallas import nmf_activations_pallas
 
+        # compiled Pallas requires a TPU; CPU gets the interpreter
+        interpret = jax.default_backend() == "cpu"
         return nmf_activations_pallas(X, A, tol=cfg.nmf.tol,
-                                      max_iter=cfg.nmf.max_iter)
+                                      max_iter=cfg.nmf.max_iter,
+                                      interpret=interpret)
     if solver in ("cd", "nnls"):
         H = nnls_activations(X, A, n_iter=max(cfg.nmf.max_iter, 200))
         err = jnp.linalg.norm(X - H @ A)

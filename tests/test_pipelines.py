@@ -173,3 +173,17 @@ def test_serve_converter_reuses_dictionaries(cfg, store, tmp_path):
     assert r1.audio.shape != r2.audio.shape  # different utterances
     assert os.path.isfile(str(tmp_path / "s1.wav"))
     assert r1.nmf_iters > 0 and r2.nmf_iters > 0
+
+
+@pytest.mark.parametrize("solver", ["cd", "qr", "mu_pallas"])
+def test_convert_solver_variants(store, tmp_path, solver):
+    cfg_s = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=2", f"nmf.solver={solver}",
+        "nmf.max_iter=30",
+    ])
+    res = convert_utterance(
+        cfg_s, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
+        out_path=str(tmp_path / f"conv_{solver}.wav"), nb_file=2, synth_iters=10,
+    )
+    assert np.isfinite(res.audio).all()
+    assert np.isfinite(res.converted["stft"]).all()
