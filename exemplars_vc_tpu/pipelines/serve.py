@@ -52,6 +52,46 @@ class Converter:
         self.log.info("converter ready (%s, %d exemplars) in %.2fs", self.kind,
                       next(iter(self.dicts.values()))[0].shape[0], t.elapsed)
 
+    def convert_batch(self, wav_paths: list[str], out_dir: str | None = None,
+                      synth_iters: int | None = None) -> list[Converted]:
+        """Convert many utterances with ONE activation solve.
+
+        Fixed-dictionary MU updates are per-frame independent, so stacking all
+        utterances' frames into one (ΣF_i, D) solve is exact and amortizes the
+        solver across the batch; synthesis runs per utterance. STFT path only."""
+        import os as _os
+
+        if self.kind != "stft":
+            return [self.convert(p, synth_iters=synth_iters) for p in wav_paths]
+        from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
+
+        cfg = self.cfg
+        sigs, mags = [], []
+        for p in wav_paths:
+            x, sr = read_wav(p)
+            sigs.append((x, sr))
+            mags.append(extract_stft_features(x, cfg))
+        splits = np.cumsum([m.shape[0] for m in mags])[:-1]
+        X_all = jnp.asarray(np.concatenate(mags, axis=0), jnp.float32)
+        with Timer("batch-convert") as t:
+            A, B = self.dicts["stft"]
+            st = _solve_activations(X_all, A, cfg)
+            Y_all = np.asarray(convert_features(st.H, B))
+        results = []
+        n_iter = int(st.n_iter)
+        per_utt = np.split(Y_all, splits, axis=0)
+        iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
+        for (x, sr), Y, p in zip(sigs, per_utt, wav_paths):
+            audio = np.asarray(griffin_lim(
+                jnp.asarray(Y), n_fft=cfg.mcep.frame_length,
+                hop_length=cfg.mcep.hop_length, n_iter=iters, length=len(x),
+            ))
+            if out_dir is not None:
+                write_wav(_os.path.join(out_dir, _os.path.basename(p)), audio, sr)
+            results.append(Converted(audio=audio, sr=sr, nmf_iters=n_iter,
+                                     nmf_error=float(st.error), seconds=t.elapsed))
+        return results
+
     def convert(self, wav_path: str, out_path: str | None = None,
                 synth_iters: int | None = None) -> Converted:
         cfg = self.cfg

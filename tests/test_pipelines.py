@@ -187,3 +187,19 @@ def test_convert_solver_variants(store, tmp_path, solver):
     )
     assert np.isfinite(res.audio).all()
     assert np.isfinite(res.converted["stft"]).all()
+
+
+def test_serve_convert_batch_matches_single(cfg, store, tmp_path):
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    conv = Converter(cfg, store, DATA, nb_file=4)
+    paths = [os.path.join(DATA, "SF1", n) for n in ("100001.wav", "100002.wav")]
+    out_dir = str(tmp_path / "batch")
+    os.makedirs(out_dir, exist_ok=True)
+    batch = conv.convert_batch(paths, out_dir=out_dir, synth_iters=10)
+    assert len(batch) == 2
+    for p in paths:
+        assert os.path.isfile(os.path.join(out_dir, os.path.basename(p)))
+    # frame independence: batched activation solve == per-utterance solves
+    single = conv.convert(paths[0], synth_iters=10)
+    np.testing.assert_allclose(batch[0].audio, single.audio, atol=2e-4)
