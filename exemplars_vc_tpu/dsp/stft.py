@@ -29,18 +29,41 @@ from exemplars_vc_tpu.dsp.windows import get_window
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
     """(T,) -> (n_frames, frame_length), no padding (librosa.util.frame).
 
-    When hop divides the frame length (the 400/80 default), framing is pure
-    reshape + static slices — no gather op, which matters on TPU where big
-    gathers serialize."""
+    One strided gather. (A slice+stack reformulation was tried and reverted:
+    it compiled 200 s vs 1.1 s for the gather on this TPU backend with no
+    measurable runtime win — see BENCHMARKS.md.)"""
     n = (x.shape[-1] - frame_length) // hop_length + 1
-    if frame_length % hop_length == 0 and x.ndim == 1:
-        r = frame_length // hop_length
-        n_chunks = x.shape[-1] // hop_length
-        chunks = x[: n_chunks * hop_length].reshape(n_chunks, hop_length)
-        parts = [chunks[k : k + n] for k in range(r)]   # static slices
-        return jnp.stack(parts, axis=1).reshape(n, frame_length)
     idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
     return x[..., idx]
+
+
+def _stft_conv(x: jnp.ndarray, n_fft: int, hop_length: int, window: str) -> jnp.ndarray:
+    """STFT as ONE strided convolution: framing + window + DFT fused.
+
+    The kernel is the windowed DFT basis (2·(n_fft//2+1) output channels =
+    cos/sin), stride = hop — a single MXU op. This is the TPU path: the
+    gather-framing alternative runs ~4× slower at runtime and the
+    slice-stack alternative compiles 200× slower (measured; BENCHMARKS.md).
+    Input x: (..., T_padded) already centered-padded; returns complex
+    (..., n_frames, n_fft//2+1)."""
+    from exemplars_vc_tpu.dsp.fft import _rdft_mats
+
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1])).astype(jnp.float32)    # (N, 1, T)
+    C, S = _rdft_mats(n_fft)                                    # (n_fft, bins)
+    w = get_window(window, n_fft, periodic=True, dtype=jnp.float32)
+    basis = jnp.concatenate(
+        [jnp.asarray(C), jnp.asarray(S)], axis=1
+    ) * w[:, None]                                              # (n_fft, 2·bins)
+    kernel = basis.T[:, None, :]                                # (O=2·bins, I=1, n_fft)
+    out = jax.lax.conv_general_dilated(
+        xb, kernel, window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )                                                           # (N, 2·bins, F)
+    n_bins = n_fft // 2 + 1
+    re = jnp.moveaxis(out[:, :n_bins, :], 1, 2)
+    im = jnp.moveaxis(out[:, n_bins:, :], 1, 2)
+    return jax.lax.complex(re, im).reshape(lead + re.shape[1:])
 
 
 @partial(
@@ -60,17 +83,36 @@ def stft(
     ``center=True`` + periodic hann + reflect padding matches the librosa
     defaults the reference was built against. Frame axis is time-major (the
     reference immediately transposes librosa's output to frames-major —
-    ``03_a_b_r_parallel.py:103``)."""
-    w = get_window(window, n_fft, periodic=True, dtype=x.dtype)
+    ``03_a_b_r_parallel.py:103``). CPU uses framing + native FFT; TPU uses the
+    fused convolutional DFT (see _stft_conv)."""
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
+    if not _fft._use_native():
+        return _stft_conv(x, n_fft, hop_length, window)
+    w = get_window(window, n_fft, periodic=True, dtype=x.dtype)
     frames = frame_signal(x, n_fft, hop_length)
     return _fft.rfft(frames * w, n=n_fft)
 
 
 def stft_magnitude(x: jnp.ndarray, **kw) -> jnp.ndarray:
     return jnp.abs(stft(x, **kw))
+
+
+def _ola_conv(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """(F, n_fft) frames → (n_fft + hop·(F−1),) overlap-add via lhs-dilated conv."""
+    n_frames, n_fft = frames.shape
+    lhs = frames.T[None, :, :]                         # (1, C=n_fft, F)
+    # correlation kernel: K[0, c, t] = 1 iff t == n_fft−1−c (flipped identity)
+    eye = jnp.eye(n_fft, dtype=frames.dtype)[:, ::-1]  # (c, t)
+    kernel = eye[None, :, :]                           # (O=1, I=n_fft, n_fft)
+    out = jax.lax.conv_general_dilated(
+        lhs, kernel, window_strides=(1,),
+        padding=[(n_fft - 1, n_fft - 1)],
+        lhs_dilation=(hop,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out[0, 0, :]
 
 
 @partial(
@@ -94,29 +136,14 @@ def istft(
     n_frames = spec.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
 
-    if n_fft % hop_length == 0:
-        # scatter-free overlap-add: split each frame into r hop-chunks and
-        # accumulate r statically-shifted reshapes (TPU scatters serialize)
-        r = n_fft // hop_length
-        chunks = frames.reshape(n_frames, r, hop_length)
-        acc = jnp.zeros((n_frames + r - 1, hop_length), dtype=frames.dtype)
-        wacc = jnp.zeros((n_frames + r - 1, hop_length), dtype=frames.dtype)
-        w2 = (w * w).reshape(r, hop_length)
-        for k in range(r):
-            acc = acc.at[k : k + n_frames].add(chunks[:, k])
-            wacc = wacc.at[k : k + n_frames].add(
-                jnp.broadcast_to(w2[k], (n_frames, hop_length))
-            )
-        y = acc.reshape(-1)[:out_len]
-        wsum = wacc.reshape(-1)[:out_len]
-    else:
-        idx = (
-            jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-        ).reshape(-1)
-        y = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(frames.reshape(-1))
-        wsum = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(
-            jnp.tile(w * w, (n_frames,))
-        )
+    # overlap-add as a fractionally-strided (transposed) convolution with a
+    # flipped-identity kernel: y[τ] = Σ_f frames[f, τ − f·hop]. One TPU conv;
+    # both the scatter-add and the slice-stack formulations were measured
+    # pathological on this backend (serializing scatters / 200 s compiles).
+    y = _ola_conv(frames, hop_length)
+    wsum = _ola_conv(
+        jnp.broadcast_to(w * w, (n_frames, n_fft)), hop_length
+    )
     y = y / jnp.maximum(wsum, 1e-8)
 
     if center:

@@ -82,3 +82,43 @@ def test_full_dsp_chain_under_matmul_dft(monkeypatch):
     S = stft(jnp.asarray(x), n_fft=400, hop_length=80)
     y = np.asarray(istft(S, n_fft=400, hop_length=80, length=len(x)))
     assert np.abs(y[400:-400] - x[400:-400]).max() < 1e-3
+
+
+def test_conv_stft_matches_native():
+    """The fused convolutional STFT (TPU path) must equal framing+FFT.
+    _stft_conv is called directly (the jitted stft caches per backend, so a
+    monkeypatched dispatch would silently reuse the native trace)."""
+    from exemplars_vc_tpu.dsp.stft import _stft_conv, stft as do_stft
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(12000).astype(np.float32)
+    ref = np.asarray(do_stft(jnp.asarray(x)))
+    xp = np.pad(x, 200, mode="reflect")
+    got = np.asarray(_stft_conv(jnp.asarray(xp), 400, 80, "hann"))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got.real, ref.real, atol=3e-4 * scale)
+    np.testing.assert_allclose(got.imag, ref.imag, atol=3e-4 * scale)
+
+
+def test_conv_stft_batched():
+    from exemplars_vc_tpu.dsp.stft import _stft_conv
+
+    rng = np.random.default_rng(12)
+    xb = rng.standard_normal((3, 8400)).astype(np.float32)
+    got = np.asarray(jnp.abs(_stft_conv(jnp.asarray(xb), 400, 80, "hann")))
+    for i in range(3):
+        single = np.asarray(jnp.abs(_stft_conv(jnp.asarray(xb[i]), 400, 80, "hann")))
+        np.testing.assert_allclose(got[i], single, atol=1e-3)
+
+
+def test_conv_ola_matches_scatter():
+    from exemplars_vc_tpu.dsp.stft import _ola_conv
+
+    rng = np.random.default_rng(13)
+    frames = rng.standard_normal((30, 400)).astype(np.float32)
+    got = np.asarray(_ola_conv(jnp.asarray(frames), 80))
+    out_len = 400 + 80 * 29
+    ref = np.zeros(out_len, np.float32)
+    for f in range(30):
+        ref[f * 80 : f * 80 + 400] += frames[f]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
