@@ -100,12 +100,31 @@ def stft_magnitude(x: jnp.ndarray, **kw) -> jnp.ndarray:
 
 
 def _ola_conv(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
-    """(F, n_fft) frames → (n_fft + hop·(F−1),) overlap-add via lhs-dilated conv."""
+    """(F, n_fft) frames → (n_fft + hop·(F−1),) overlap-add as a tiny conv.
+
+    When hop divides n_fft (r = n_fft/hop), view each frame as r hop-chunks;
+    the output row q (of hop samples) is Σ_k chunks[q−k, k] — a depthwise
+    r-tap convolution along the frame axis with a flipped-identity r×r
+    kernel (r=5 for the 400/80 default: ~1 MFLOP, vs 9 GFLOP for the dense
+    identity-kernel transposed conv, and compiles in seconds where slice- or
+    scatter-based formulations pathologize this backend)."""
     n_frames, n_fft = frames.shape
-    lhs = frames.T[None, :, :]                         # (1, C=n_fft, F)
-    # correlation kernel: K[0, c, t] = 1 iff t == n_fft−1−c (flipped identity)
-    eye = jnp.eye(n_fft, dtype=frames.dtype)[:, ::-1]  # (c, t)
-    kernel = eye[None, :, :]                           # (O=1, I=n_fft, n_fft)
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        chunks = frames.reshape(n_frames, r, hop)
+        lhs = jnp.moveaxis(chunks, 2, 0).transpose(0, 2, 1)  # (hop, r, F)
+        eye = jnp.eye(r, dtype=frames.dtype)[:, ::-1]        # flipped identity
+        kernel = eye[None, :, :]                             # (O=1, I=r, r)
+        out = jax.lax.conv_general_dilated(
+            lhs, kernel, window_strides=(1,),
+            padding=[(r - 1, r - 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )                                                    # (hop, 1, F+r-1)
+        return out[:, 0, :].T.reshape(-1)                    # (F+r-1, hop) → flat
+    # general hop: dense transposed conv with an identity kernel
+    lhs = frames.T[None, :, :]                               # (1, C=n_fft, F)
+    eye = jnp.eye(n_fft, dtype=frames.dtype)[:, ::-1]
+    kernel = eye[None, :, :]                                 # (O=1, I=n_fft, n_fft)
     out = jax.lax.conv_general_dilated(
         lhs, kernel, window_strides=(1,),
         padding=[(n_fft - 1, n_fft - 1)],
