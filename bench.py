@@ -56,19 +56,28 @@ def probe_device(timeout_s: int = 150) -> bool:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp;"
+             "print(jax.devices()[0].platform);"
              "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
             capture_output=True, timeout=timeout_s,
         )
-        return r.returncode == 0 and b"512" in r.stdout
     except subprocess.TimeoutExpired:
+        log("device probe TIMED OUT (grant wedged or device hung)")
         return False
+    if r.returncode != 0:
+        log(f"device probe FAILED rc={r.returncode}: {r.stderr[-300:]!r}")
+        return False
+    lines = r.stdout.split()
+    ok = b"512" in r.stdout
+    if ok:
+        log(f"device probe ok on platform {lines[0].decode() if lines else '?'}")
+    return ok
 
 
 def main():
     import os as _os
 
     if _os.environ.get("JAX_PLATFORMS", "") != "cpu" and not probe_device():
-        log("WARNING: device probe hung — TPU grant wedged; falling back to CPU")
+        log("WARNING: device probe failed (see above); falling back to CPU")
         _os.environ["JAX_PLATFORMS"] = "cpu"
         import jax as _jax
 

@@ -56,9 +56,9 @@ def _mu_step_frobenius(H, X, A, numerator):
 
 
 def _mu_step_kl(H, X, A, row_sum_A):
-    WH = jnp.dot(H, A, preferred_element_type=H.dtype)
+    WH = jnp.dot(H, A, preferred_element_type=jnp.float32).astype(H.dtype)
     ratio = X / jnp.maximum(WH, _EPS)
-    num = jnp.dot(ratio, A.T, preferred_element_type=H.dtype)
+    num = jnp.dot(ratio, A.T, preferred_element_type=jnp.float32).astype(H.dtype)
     denom = jnp.where(row_sum_A == 0.0, _EPS, row_sum_A)
     return H * (num / denom)
 
@@ -95,7 +95,8 @@ def nmf_activations(
     H0 = jnp.full((F, K), avg, dtype=dtype)
 
     if beta_loss == "frobenius":
-        numerator = jnp.dot(X, A.T, preferred_element_type=dtype)
+        # accumulate the loop-invariant numerator in f32 even in bf16 mode
+        numerator = jnp.dot(X, A.T, preferred_element_type=jnp.float32).astype(dtype)
         step = lambda H: _mu_step_frobenius(H, X, A, numerator)
     elif beta_loss in ("kullback-leibler", "kl"):
         row_sum_A = jnp.sum(A, axis=1)[None, :].astype(dtype)

@@ -178,9 +178,8 @@ def train_warping_net(
 
         n_dev = len(jax.devices())
         mesh = make_mesh(data=n_dev, dict_=1)
-        # minibatch must fill the data axis; round up to the device count
-        mb = max(mb, n_dev)
-        mb = (mb // n_dev) * n_dev
+        # minibatch must fill the data axis; round UP to a device multiple
+        mb = ((max(mb, n_dev) + n_dev - 1) // n_dev) * n_dev
         batch_sharding = NamedSharding(mesh, P("data", None, None))
         repl = NamedSharding(mesh, P())
         params = jax.device_put(params, repl)
@@ -200,8 +199,10 @@ def train_warping_net(
             tr_loss = 0.0
             for s in range(0, n_train, mb):
                 idx = order[s : s + mb]
-                if len(idx) < mb:   # wrap the tail so sharded shapes stay fixed
-                    idx = np.resize(order, mb)  # cycles when mb > n_train
+                if len(idx) < mb:
+                    # keep the true tail samples, then wrap from the start
+                    # (cycling if mb > n_train) so sharded shapes stay fixed
+                    idx = np.concatenate([idx, np.resize(order, mb - len(idx))])
                 sel = jnp.asarray(idx)
                 bx, by, bm = place_batch(xs_tr[sel], ys_tr[sel], m_tr[sel])
                 params, opt_state, loss = _update(

@@ -115,8 +115,10 @@ def run_freq_warp(cfg, store, data_path: str, variant: str = "amf",
     rngsel = np.random.default_rng(0)
 
     if variant == "amf":
-        src_sigs, _ = load_speaker(data_path, cfg.data.src, nb_file=nb)
-        tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb)
+        src_sigs, _ = load_speaker(data_path, cfg.data.src, nb_file=nb,
+                                   cpu_rate=cfg.misc.cpu_rate)
+        tar_sigs, _ = load_speaker(data_path, cfg.data.tar, nb_file=nb,
+                                   cpu_rate=cfg.misc.cpu_rate)
         fa, fb = [], []
         # the dictionary only has min(len(src), len(tar)) pair rows
         for n in range(art.path_len.shape[0]):

@@ -61,8 +61,18 @@ class Converter:
         solver across the batch; synthesis runs per utterance. STFT path only."""
         import os as _os
 
+        if not wav_paths:
+            return []
         if self.kind != "stft":
-            return [self.convert(p, synth_iters=synth_iters) for p in wav_paths]
+            return [
+                self.convert(
+                    p,
+                    out_path=(_os.path.join(out_dir, _os.path.basename(p))
+                              if out_dir is not None else None),
+                    synth_iters=synth_iters,
+                )
+                for p in wav_paths
+            ]
         from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
 
         cfg = self.cfg
@@ -81,15 +91,18 @@ class Converter:
         n_iter = int(st.n_iter)
         per_utt = np.split(Y_all, splits, axis=0)
         iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
+        solve_share = t.elapsed / len(wav_paths)   # amortized solve cost
         for (x, sr), Y, p in zip(sigs, per_utt, wav_paths):
-            audio = np.asarray(griffin_lim(
-                jnp.asarray(Y), n_fft=cfg.mcep.frame_length,
-                hop_length=cfg.mcep.hop_length, n_iter=iters, length=len(x),
-            ))
+            with Timer("synth") as ts:
+                audio = np.asarray(griffin_lim(
+                    jnp.asarray(Y), n_fft=cfg.mcep.frame_length,
+                    hop_length=cfg.mcep.hop_length, n_iter=iters, length=len(x),
+                ))
             if out_dir is not None:
                 write_wav(_os.path.join(out_dir, _os.path.basename(p)), audio, sr)
             results.append(Converted(audio=audio, sr=sr, nmf_iters=n_iter,
-                                     nmf_error=float(st.error), seconds=t.elapsed))
+                                     nmf_error=float(st.error),
+                                     seconds=solve_share + ts.elapsed))
         return results
 
     def convert(self, wav_path: str, out_path: str | None = None,

@@ -26,7 +26,7 @@ from exemplars_vc_tpu.pipelines.convert import _solve_activations
 class StreamingConverter:
     """Push frame chunks of |STFT| magnitudes, receive audio chunks.
 
-    >>> sc = StreamingConverter(cfg, A, B, chunk_frames=128, context_frames=32)
+    >>> sc = StreamingConverter(cfg, A, B, context_frames=32)
     >>> audio = sc.push(mag_chunk)       # (chunk·hop,) samples per push
     >>> tail = sc.flush()
     """
@@ -36,18 +36,15 @@ class StreamingConverter:
         cfg: Config,
         A: np.ndarray,
         B: np.ndarray,
-        chunk_frames: int = 128,
         context_frames: int = 32,
         synth_iters: int = 60,
     ):
         self.cfg = cfg
         self.A = jnp.asarray(A, jnp.float32)
         self.B = jnp.asarray(B, jnp.float32)
-        self.chunk_frames = chunk_frames
         self.context_frames = context_frames
         self.synth_iters = synth_iters
         self._context_mag: np.ndarray | None = None   # converted left context
-        self._pending: list[np.ndarray] = []
 
     def _convert_block(self, X: np.ndarray) -> np.ndarray:
         st = _solve_activations(jnp.asarray(X, jnp.float32), self.A, self.cfg)
@@ -68,7 +65,10 @@ class StreamingConverter:
             length=full.shape[0] * hop,
         ))
         ctx = self.context_frames
-        self._context_mag = full[-ctx:] if full.shape[0] >= ctx else full
+        if ctx <= 0:
+            self._context_mag = None
+        else:
+            self._context_mag = full[-ctx:] if full.shape[0] >= ctx else full
         # emit only the samples belonging to the new frames
         return y[skip * hop : (skip + mag_new.shape[0]) * hop]
 

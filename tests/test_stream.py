@@ -27,7 +27,7 @@ def test_streaming_nmf_matches_batch():
     rng = np.random.default_rng(1)
     X = np.abs(rng.standard_normal((96, 201))).astype(np.float32)
 
-    sc = StreamingConverter(cfg, A, B, chunk_frames=32)
+    sc = StreamingConverter(cfg, A, B)
     chunks = [sc._convert_block(X[i : i + 32]) for i in range(0, 96, 32)]
     streamed = np.concatenate(chunks, axis=0)
     batch = sc._convert_block(X)
@@ -38,7 +38,7 @@ def test_streaming_audio_continuity():
     cfg = load_config(overrides=["nmf.max_iter=30"])
     A, B = _dicts()
     rng = np.random.default_rng(2)
-    sc = StreamingConverter(cfg, A, B, chunk_frames=64, context_frames=16,
+    sc = StreamingConverter(cfg, A, B, context_frames=16,
                             synth_iters=20)
     outs = []
     for _ in range(3):
