@@ -33,7 +33,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e30)
+# plain python float, NOT jnp.float32(...): a module-level device constant
+# would initialize the default backend at import time, racing ahead of any
+# CLI platform override (and touching a possibly-wedged TPU before main runs)
+BIG = 1e30
 
 
 class DtwResult(NamedTuple):
