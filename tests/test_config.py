@@ -34,3 +34,22 @@ def test_overrides():
     assert cfg.nmf.max_iter == 50
     assert not cfg.data.use_stft
     assert abs(cfg.mcep.alpha - 0.35) < 1e-12
+
+
+def test_cli_accepts_reference_ini(tmp_path, capsys):
+    """The reference's own INI drives the CLI unchanged (MIGRATING.md claim)."""
+    import json
+
+    from exemplars_vc_tpu.pipelines.cli import main
+
+    if not os.path.isfile(REF_INI):
+        return
+    if not os.path.isdir("/root/reference/data/SF1"):
+        return
+    main([
+        "make-dict", "--config", REF_INI, "--data", "/root/reference/data",
+        "--tar", "TF1",   # the INI's TM3 is not bundled
+        "--store", str(tmp_path / "store"), "--nb-file", "2",
+    ])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["pairs"] == 2
