@@ -37,3 +37,17 @@ def test_get_logger_idempotent(tmp_path):
     files = os.listdir(str(tmp_path))
     assert len(files) == 1
     assert "hello" in open(os.path.join(str(tmp_path), files[0])).read()
+
+
+def test_trace_to_writes_profile(tmp_path):
+    import jax.numpy as jnp
+
+    from exemplars_vc_tpu.obs import trace_to
+
+    with trace_to(str(tmp_path)):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    # jax profiler writes a plugins/profile/<ts>/ tree
+    found = []
+    for root, dirs, files in os.walk(str(tmp_path)):
+        found.extend(files)
+    assert found, "no profiler artifacts written"
