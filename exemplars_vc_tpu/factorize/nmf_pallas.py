@@ -148,11 +148,11 @@ def _fused_mu_call(Fp, Kp, Dp, tile_f, tile_k, interpret):
         kernel,
         grid=(Fp // tile_f,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Fp, Kp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_f, Dp), jnp.float32),
