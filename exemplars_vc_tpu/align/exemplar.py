@@ -32,6 +32,52 @@ def gather_aligned_batch(feats: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(gather_aligned)(feats, paths)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k_pad",))
+def build_exemplar_dicts_padded(
+    feats_a: jnp.ndarray,
+    feats_b: jnp.ndarray,
+    path_i: jnp.ndarray,
+    path_j: jnp.ndarray,
+    k_pad: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-resident exemplar dictionaries with inert padding rows.
+
+    (N, T, D) features + (N, P) paths → (K_pad, D) matrices where rows at
+    padded path positions (index −1) are zeroed. Zero rows are exactly inert
+    in every activation solver: they contribute nothing to H·A, their MU
+    numerator column X·Aᵀ is 0 (FISTA gradient likewise; QR maps them to zero
+    Q rows), so their activations collapse to 0 and the solution over the
+    real rows is identical to the compacted (K, D) dictionary (the only
+    difference is sklearn's H-init scale sqrt(mean(X)/K), which uses the
+    padded row count). ``k_pad`` (static, typically Σ path_len rounded up to
+    a bucket) packs the valid rows first with one stable argsort-gather and
+    trims the buffer — without it K_pad = N·P, which measured ~2.4× larger
+    than the true exemplar count and inflates every NMF matmul accordingly.
+    Shapes are static per bucket, so the NMF executable is reused across
+    corpora; nothing round-trips through the host (the reference's
+    list-extend gather loops — ``04_align_n_nmf.py:230-246`` — ran on host,
+    and so did this module's :func:`build_exemplar_dicts`, at a multi-MB
+    device↔host cost per run).
+    """
+    A = jax.vmap(gather_aligned)(feats_a, path_i)
+    B = jax.vmap(gather_aligned)(feats_b, path_j)
+    valid = (path_i >= 0)[..., None]
+    A = jnp.where(valid, A, 0.0)
+    B = jnp.where(valid, B, 0.0)
+    D = A.shape[-1]
+    A = A.reshape(-1, D).astype(jnp.float32)
+    B = B.reshape(-1, D).astype(jnp.float32)
+    if k_pad is not None and k_pad < A.shape[0]:
+        # valid rows first (stable: original exemplar order preserved)
+        order = jnp.argsort(jnp.where(valid.reshape(-1), 0, 1), stable=True)
+        order = order[:k_pad]
+        A, B = A[order], B[order]
+    return A, B
+
+
 def build_exemplar_dicts(
     feats_a: np.ndarray,
     feats_b: np.ndarray,

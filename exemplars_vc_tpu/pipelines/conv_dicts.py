@@ -27,15 +27,17 @@ class ConversionFeatures:
     lens: np.ndarray       # (N,) true frame counts
 
 
-def extract_stft_features(sig: np.ndarray, cfg: Config) -> np.ndarray:
+def extract_stft_features(sig: np.ndarray, cfg: Config) -> jnp.ndarray:
+    """|STFT| of one utterance, device-resident (consumers solve/gather on
+    device; the magnitude never needs to visit the host)."""
     from exemplars_vc_tpu.io.store import bucketed_signal
 
     m = cfg.mcep
     padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
     S = stft(jnp.asarray(padded, jnp.float32), n_fft=m.frame_length,
              hop_length=m.hop_length, window=m.window)
-    # take |.| on device: the axon TPU cannot transfer complex64 to host
-    return np.asarray(jnp.abs(S))[:true_frames]
+    # |.| on device: the axon TPU cannot transfer complex64 to host anyway
+    return jnp.abs(S)[:true_frames]
 
 
 from functools import lru_cache
@@ -61,11 +63,15 @@ def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.
 
 def extract_stft_features_stacked(
     sigs: list[np.ndarray], cfg: Config
-) -> tuple[np.ndarray, np.ndarray]:
-    """(N, T_pad, bins) padded magnitudes + true frame counts, no host re-pack.
+) -> tuple[jnp.ndarray, np.ndarray]:
+    """(N, T_pad, bins) padded magnitudes + true frame counts, DEVICE-resident.
 
-    The padded batch IS the storage format (stack_ragged layout), so the
-    pipeline never trims to lists and re-pads."""
+    The padded batch IS the storage format (stack_ragged layout, padded
+    frames zeroed) and it stays on device: the exemplar gathers and the NMF
+    consume it directly. The only host copy is the store's async artifact
+    write (as float16 — halves the ~20 MB/s tunnel transfer and the disk
+    artifact; magnitudes only ever feed float32 NMF, where 1e-3 relative is
+    invisible)."""
     m = cfg.mcep
     step = m.hop_length * cfg.data.frame_bucket
     max_len = max(len(s) for s in sigs)
@@ -74,15 +80,10 @@ def extract_stft_features_stacked(
     for i, s in enumerate(sigs):
         batch[i, : len(s)] = s
     mags = _stft_mag_batch(m.frame_length, m.hop_length, m.window)(jnp.asarray(batch))
-    # float16 on the wire/disk: halves the device→host transfer (which runs at
-    # ~20 MB/s through this environment's TPU tunnel) and the artifact size;
-    # magnitudes only ever feed float32 NMF, where 1e-3 relative is invisible
-    host = np.array(mags.astype(jnp.float16))
     lens = np.asarray([1 + len(s) // m.hop_length for s in sigs], np.int32)
     # zero the padded frames so downstream consumers see silence
-    for i, ln in enumerate(lens):
-        host[i, ln:] = 0.0
-    return host, lens
+    mask = jnp.arange(mags.shape[1])[None, :] < jnp.asarray(lens)[:, None]
+    return mags * mask[..., None], lens
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
@@ -135,6 +136,9 @@ def build_conversion_dicts(
         if kind == "stft":
             stacked, lens = extract_stft_features_stacked(sigs, cfg)
             feats = {"stft": stacked}
+            # the device batch feeds the pipeline; the float16 artifact lands
+            # via the store's async writer (d2h off the critical path)
+            store.save(key, lens=lens, stft=stacked.astype(jnp.float16))
         else:
             per_utt = [extract_world_features(s, cfg) for s in sigs]
             feats = {}
@@ -143,7 +147,6 @@ def build_conversion_dicts(
                 stacked, lens = stack_ragged([u[name] for u in per_utt],
                                              bucket=cfg.data.frame_bucket)
                 feats[name] = stacked
+            store.save(key, lens=lens, **feats)
     log.info("%s features for %s (%d utts) in %.2fs", kind, speaker, len(sigs), t.elapsed)
-
-    store.save(key, lens=lens, **feats)
     return ConversionFeatures(kind=kind, feats=feats, lens=lens)

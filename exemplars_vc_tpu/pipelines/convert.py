@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from exemplars_vc_tpu.align.exemplar import build_exemplar_dicts
+from exemplars_vc_tpu.align.exemplar import build_exemplar_dicts_padded
 from exemplars_vc_tpu.config import Config
 from exemplars_vc_tpu.dsp import griffin_lim
 from exemplars_vc_tpu.factorize import (
@@ -105,16 +105,27 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
 
 def _aligned_dicts(cfg, store, data_path, nb_file):
     """Exemplar dictionaries A/B for every conversion feature, gathered along
-    the DTW alignment paths."""
+    the DTW alignment paths.
+
+    The gather runs on device (:func:`build_exemplar_dicts_padded`): padded
+    path rows become zero rows, which are exactly inert in every activation
+    solver, and A/B shapes are static per frame-bucket — one NMF executable
+    across corpora, no multi-MB exemplar matrices through the host link."""
     dict_art = make_dictionary(cfg, store, data_path, nb_file=nb_file)
     src_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.src, nb_file=nb_file)
     tar_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.tar, nb_file=nb_file)
 
+    path_i = jnp.asarray(dict_art.path_i)
+    path_j = jnp.asarray(dict_art.path_j)
+    # exemplar count, rounded to a bucket so the NMF shape is corpus-stable
+    k_true = int(np.asarray(dict_art.path_len).sum())
+    k_pad = ((k_true + 511) // 512) * 512
     dicts = {}
     for name in src_feats.feats:
-        A, B = build_exemplar_dicts(
-            src_feats.feats[name], tar_feats.feats[name],
-            dict_art.path_i, dict_art.path_j, dict_art.path_len,
+        A, B = build_exemplar_dicts_padded(
+            jnp.asarray(src_feats.feats[name], jnp.float32),
+            jnp.asarray(tar_feats.feats[name], jnp.float32),
+            path_i, path_j, k_pad=k_pad,
         )
         dicts[name] = (A, B)
     return dicts, src_feats.kind
@@ -155,7 +166,7 @@ def convert_utterance(
             feats_in = extract_world_features(x, cfg)
     timings["features"] = t.elapsed
 
-    converted: dict[str, np.ndarray] = {}
+    converted_dev: dict[str, jnp.ndarray] = {}
     n_iter_total, err_total = 0, 0.0
     with Timer("nmf+convert") as t:
         for name, X in feats_in.items():
@@ -168,7 +179,8 @@ def convert_utterance(
                 residual_compensation(Xj, st.H, Aj, mode=cfg.nmf.residual_mode)
                 if use_residual else None
             )
-            converted[name] = np.asarray(convert_features(st.H, Bj, R))
+            # stays on device: synthesis consumes it directly
+            converted_dev[name] = convert_features(st.H, Bj, R)
             n_iter_total += int(st.n_iter)
             err_total += float(st.error)
             log.info("NMF[%s]: F=%d K=%d iters=%d err=%.3g", name,
@@ -179,7 +191,7 @@ def convert_utterance(
         if kind == "stft":
             iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
             audio = np.asarray(
-                griffin_lim(jnp.asarray(converted["stft"]), n_fft=m.frame_length,
+                griffin_lim(converted_dev["stft"], n_fft=m.frame_length,
                             hop_length=m.hop_length, n_iter=iters, length=len(x))
             )
         else:
@@ -187,15 +199,16 @@ def convert_utterance(
 
             audio = np.asarray(
                 synthesize(
-                    jnp.asarray(np.squeeze(converted["f0"], -1)),
-                    jnp.asarray(converted["sp"]),
-                    jnp.asarray(converted["ap"]),
+                    jnp.squeeze(converted_dev["f0"], -1),
+                    converted_dev["sp"],
+                    converted_dev["ap"],
                     sr=sr,
                     frame_period_ms=cfg.world.frame_period_ms,
                     fft_size=cfg.world.fft_size,
                 )
             )
     timings["synthesis"] = t.elapsed
+    converted = {k: np.asarray(v) for k, v in converted_dev.items()}
 
     if out_path is not None:
         write_wav(out_path, audio, sr)

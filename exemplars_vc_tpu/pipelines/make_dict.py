@@ -24,12 +24,17 @@ import numpy as np
 from exemplars_vc_tpu.config import Config
 from exemplars_vc_tpu.align import dtw_batch
 from exemplars_vc_tpu.dsp import mcep, mfcc
-from exemplars_vc_tpu.io import ArtifactStore, load_speaker, stack_ragged
+from exemplars_vc_tpu.io import ArtifactStore, load_speaker
 from exemplars_vc_tpu.obs import Timer, get_logger
 
 
 @dataclass
 class DictionaryArtifacts:
+    """Index paths are always host numpy (small; consumers loop over them);
+    feat_a/feat_b are device arrays on a fresh build (they feed device-side
+    gathers — no reason to round-trip them through the ~20 MB/s host link)
+    and numpy when loaded back from the store."""
+
     path_i: np.ndarray     # (N, P) source-frame indices per pair, −1 padded
     path_j: np.ndarray     # (N, P) target-frame indices
     path_len: np.ndarray   # (N,)
@@ -61,14 +66,22 @@ def _mcep_batch(frame_length: int, hop: int, order: int, alpha: float):
     ))
 
 
-def _extract_batch(sigs: list[np.ndarray], cfg: Config, feat: str) -> list[np.ndarray]:
-    """Extract alignment features for ALL utterances in one vmapped call.
+def _extract_batch_stacked(
+    sigs: list[np.ndarray], cfg: Config, feat: str
+) -> tuple[jnp.ndarray, np.ndarray]:
+    """Alignment features for ALL utterances in one vmapped call, returned as
+    a DEVICE-resident (N, T_pad, D) batch + host lengths (N,).
 
     Signals are padded to a common bucketed length so the whole speaker is a
     single (N, T) device batch — one jit shape, one dispatch (the reference
-    pays a process-pool task per file, ``01_make_dict_parallel.py:169-172``)."""
+    pays a process-pool task per file, ``01_make_dict_parallel.py:169-172``).
+    The batch stays on device (stack_ragged layout: frames padded to the
+    bucket multiple of the LONGEST true length, padding zeroed) — DTW and the
+    exemplar gathers consume it directly; the only host copy is the async
+    artifact write."""
     m = cfg.mcep
-    step = m.hop_length * cfg.data.frame_bucket
+    bucket = cfg.data.frame_bucket
+    step = m.hop_length * bucket
     max_len = max(len(s) for s in sigs)
     target = ((max_len + step - 1) // step) * step
     batch = np.zeros((len(sigs), target), dtype=np.float32)
@@ -78,17 +91,24 @@ def _extract_batch(sigs: list[np.ndarray], cfg: Config, feat: str) -> list[np.nd
 
     if feat == "mfcc":
         fn = _mfcc_batch(cfg.data.sr, m.frame_length, m.hop_length, m.n_mfcc, m.n_mels)
-        host = np.asarray(fn(xb))
-        return [host[i, : 1 + len(s) // m.hop_length] for i, s in enumerate(sigs)]
-    if feat in ("mcep", "mcc"):
-        out = _mcep_batch(m.frame_length, m.hop_length, m.order, m.alpha)(xb)
-        host = np.asarray(out)
+        lens = np.asarray([1 + len(s) // m.hop_length for s in sigs], np.int32)
+    elif feat in ("mcep", "mcc"):
+        fn = _mcep_batch(m.frame_length, m.hop_length, m.order, m.alpha)
         # mcep uses uncentered framing: (len - frame)//hop + 1 frames
-        return [
-            host[i, : (len(s) - m.frame_length) // m.hop_length + 1]
-            for i, s in enumerate(sigs)
-        ]
-    raise ValueError(f"unsupported alignment feature {feat!r}")
+        lens = np.asarray(
+            [(len(s) - m.frame_length) // m.hop_length + 1 for s in sigs], np.int32
+        )
+    else:
+        raise ValueError(f"unsupported alignment feature {feat!r}")
+
+    out = fn(xb)                                   # (N, T_out, D) on device
+    t_pad = ((int(lens.max()) + bucket - 1) // bucket) * bucket
+    if out.shape[1] >= t_pad:
+        out = out[:, :t_pad]
+    else:
+        out = jnp.pad(out, ((0, 0), (0, t_pad - out.shape[1]), (0, 0)))
+    mask = jnp.arange(t_pad)[None, :] < jnp.asarray(lens)[:, None]
+    return out * mask[..., None], lens
 
 
 def make_dictionary(
@@ -121,17 +141,18 @@ def make_dictionary(
     log.info("loaded %d utterance pairs in %.2fs", n, t_load.elapsed)
 
     with Timer("features") as t_feat:
-        fa = _extract_batch(src_sigs, cfg, feat)
-        fb = _extract_batch(tar_sigs, cfg, feat)
-        FA, la = stack_ragged(fa, bucket=cfg.data.frame_bucket)
-        FB, lb = stack_ragged(fb, bucket=cfg.data.frame_bucket)
+        FA, la = _extract_batch_stacked(src_sigs, cfg, feat)
+        FB, lb = _extract_batch_stacked(tar_sigs, cfg, feat)
     log.info("features %s/%s in %.2fs", FA.shape, FB.shape, t_feat.elapsed)
 
     with Timer("dtw") as t_dtw:
-        r = dtw_batch(jnp.asarray(FA), jnp.asarray(FB), jnp.asarray(la), jnp.asarray(lb))
-        jax.block_until_ready(r)
+        r = dtw_batch(FA, FB, jnp.asarray(la), jnp.asarray(lb))
+        jax.block_until_ready(r.path_len)
     log.info("DTW %d pairs in %.2fs", n, t_dtw.elapsed)
 
+    # index paths to host (small ints, consumers loop over them); feature
+    # batches stay device-resident — the store's async writer makes the host
+    # copies off the critical path
     art = DictionaryArtifacts(
         path_i=np.asarray(r.path_i), path_j=np.asarray(r.path_j),
         path_len=np.asarray(r.path_len),

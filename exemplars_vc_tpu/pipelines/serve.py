@@ -82,7 +82,7 @@ class Converter:
             sigs.append((x, sr))
             mags.append(extract_stft_features(x, cfg))
         splits = np.cumsum([m.shape[0] for m in mags])[:-1]
-        X_all = jnp.asarray(np.concatenate(mags, axis=0), jnp.float32)
+        X_all = jnp.concatenate([jnp.asarray(m, jnp.float32) for m in mags], axis=0)
         with Timer("batch-convert") as t:
             A, B = self.dicts["stft"]
             st = _solve_activations(X_all, A, cfg)

@@ -148,6 +148,48 @@ def test_gather_and_build_exemplars():
     np.testing.assert_allclose(g[:pl0], feats_a[0][np.asarray(r.path_i[0, :pl0])])
 
 
+def test_padded_exemplar_dicts_match_exact_solve():
+    """The device-side padded/packed dictionary must (a) contain exactly the
+    exact dictionary's rows first, and (b) give the same NMF solution over
+    those rows — the padding rows are inert."""
+    from exemplars_vc_tpu.align.exemplar import build_exemplar_dicts_padded
+    from exemplars_vc_tpu.factorize import nmf_activations
+
+    rng = np.random.default_rng(9)
+    feats_a = np.abs(rng.standard_normal((2, 40, 6))).astype(np.float32)
+    feats_b = np.abs(rng.standard_normal((2, 40, 6))).astype(np.float32)
+    r = dtw_batch(
+        jnp.asarray(feats_a), jnp.asarray(feats_b),
+        jnp.asarray([40, 25], np.int32), jnp.asarray([35, 30], np.int32),
+    )
+    A_exact, B_exact = build_exemplar_dicts(
+        feats_a, feats_b, np.asarray(r.path_i), np.asarray(r.path_j),
+        np.asarray(r.path_len),
+    )
+    k_true = int(np.asarray(r.path_len).sum())
+    k_pad = ((k_true + 15) // 16) * 16
+    A_pad, B_pad = build_exemplar_dicts_padded(
+        jnp.asarray(feats_a), jnp.asarray(feats_b), r.path_i, r.path_j,
+        k_pad=k_pad,
+    )
+    assert A_pad.shape == (k_pad, 6)
+    np.testing.assert_allclose(np.asarray(A_pad[:k_true]), A_exact, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(B_pad[:k_true]), B_exact, rtol=1e-6)
+    assert float(jnp.abs(A_pad[k_true:]).sum()) == 0.0
+
+    X = np.abs(rng.standard_normal((12, 6))).astype(np.float32)
+    st_exact = nmf_activations(jnp.asarray(X), jnp.asarray(A_exact), max_iter=30)
+    st_pad = nmf_activations(jnp.asarray(X), A_pad, max_iter=30)
+    # same reconstruction (padding rows inert); H-init scale differs with K,
+    # so compare the converged product, not H elementwise
+    np.testing.assert_allclose(
+        np.asarray(st_pad.H @ (A_pad)), np.asarray(st_exact.H @ jnp.asarray(A_exact)),
+        rtol=5e-3, atol=1e-4,
+    )
+    # activations on padding rows are identically zero after the first update
+    assert float(jnp.abs(st_pad.H[:, k_true:]).max()) == 0.0
+
+
 def test_banded_dtw_wide_band_is_exact():
     rng = np.random.default_rng(7)
     a = rng.standard_normal((40, 5)).astype(np.float32)

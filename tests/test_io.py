@@ -61,6 +61,56 @@ def test_artifact_store(tmp_path):
     assert store.load_json("meta")["n"] == 3
 
 
+def test_artifact_store_async_semantics(tmp_path):
+    """Async writes must be invisible within the process: has/load join the
+    pending write; flush blocks until everything landed on disk."""
+    import os
+
+    store = ArtifactStore(str(tmp_path), async_writes=True)
+    big = np.random.default_rng(0).random((512, 512))
+    for i in range(4):
+        store.save(f"stage{i}", x=big * i)
+    # immediate read-back sees the just-written artifact
+    np.testing.assert_array_equal(store.load("stage2")["x"], big * 2)
+    store.flush()
+    for i in range(4):
+        assert os.path.isfile(tmp_path / f"stage{i}.npz")
+    # overwrite of the same name serializes: last write wins
+    store.save("stage0", x=big * 7)
+    store.save("stage0", x=big * 9)
+    np.testing.assert_array_equal(store.load("stage0")["x"], big * 9)
+
+
+def test_artifact_store_async_accepts_device_arrays(tmp_path):
+    """The writer thread materializes jax arrays (device→host off the
+    caller's critical path) — float16 casts included."""
+    import jax.numpy as jnp
+
+    store = ArtifactStore(str(tmp_path))
+    dev = jnp.arange(12.0).reshape(3, 4)
+    store.save("dev", x=dev.astype(jnp.float16), lens=np.array([3]))
+    back = store.load("dev")
+    assert back["x"].dtype == np.float16
+    np.testing.assert_allclose(back["x"].astype(np.float64),
+                               np.arange(12.0).reshape(3, 4))
+
+
+def test_artifact_store_async_error_propagates(tmp_path):
+    store = ArtifactStore(str(tmp_path))
+
+    class Boom:
+        def __array__(self):
+            raise ValueError("cannot materialize")
+
+    store.save("bad", x=Boom())
+    try:
+        store.load("bad")
+    except RuntimeError as e:
+        assert "bad" in str(e)
+    else:
+        raise AssertionError("expected the async write failure to re-raise")
+
+
 def test_bucketed_signal_boundaries():
     from exemplars_vc_tpu.io.store import bucketed_signal
 
