@@ -105,6 +105,10 @@ class NmfConfig:
     # "reference": r = log(A·H - X) with NaN->0, reproduced from
     #   04_align_n_nmf.py:292-299,367-373 (documented quirk, SURVEY §7.3.6)
     residual_mode: str = "correct"
+    # "float32" (sklearn-parity, default) | "bfloat16" (halves the HBM
+    # traffic of the memory-bound MU matmuls; f32 accumulation; converges to
+    # ~1% of the f32 fixed point — see tests/test_nmf.py). mu solver only.
+    work_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

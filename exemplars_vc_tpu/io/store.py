@@ -24,6 +24,13 @@ def list_speaker_wavs(data_path: str, speaker: str) -> list[str]:
     return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.lower().endswith(".wav")]
 
 
+# in-process decode cache: one conversion loads each speaker from several
+# stages (dictionary build + conversion features); decoding the same wavs
+# repeatedly is pure waste. Keyed by the exact path list; bounded.
+_SPEAKER_CACHE: dict[tuple[str, ...], tuple[list[np.ndarray], int]] = {}
+_SPEAKER_CACHE_MAX = 8
+
+
 def load_speaker(
     data_path: str,
     speaker: str,
@@ -37,13 +44,19 @@ def load_speaker(
     Replaces ``io_read_speaker_data`` + npy whole-speaker cache
     (``utils.py:116-171``). Uses the native C++ threaded loader when built,
     else the numpy reader. Caching is per-speaker ``.npz`` (object arrays are
-    avoided; ragged signals stored concatenated + offsets).
+    avoided; ragged signals stored concatenated + offsets) plus an in-process
+    decoded-signal cache (callers treat the signals as read-only).
     """
     paths = list_speaker_wavs(data_path, speaker)
     if nb_file is not None:
         paths = paths[:nb_file]
     if not paths:
         raise FileNotFoundError(f"no wavs for speaker {speaker} under {data_path}")
+
+    mem_key = tuple(paths)
+    hit = _SPEAKER_CACHE.get(mem_key)
+    if hit is not None:
+        return hit
 
     cache = None
     if cache_dir is not None:
@@ -54,6 +67,9 @@ def load_speaker(
             z = np.load(cache)
             flat, offs, sr = z["flat"], z["offsets"], int(z["sr"])
             sigs = [flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+            if len(_SPEAKER_CACHE) >= _SPEAKER_CACHE_MAX:
+                _SPEAKER_CACHE.pop(next(iter(_SPEAKER_CACHE)))
+            _SPEAKER_CACHE[mem_key] = (sigs, sr)
             return sigs, sr
 
     sigs: list[np.ndarray] = []
@@ -82,6 +98,9 @@ def load_speaker(
         offs[1:] = np.cumsum([len(s) for s in sigs])
         flat = np.concatenate(sigs) if sigs else np.zeros(0)
         np.savez(cache, flat=flat, offsets=offs, sr=sr)
+    if len(_SPEAKER_CACHE) >= _SPEAKER_CACHE_MAX:
+        _SPEAKER_CACHE.pop(next(iter(_SPEAKER_CACHE)))
+    _SPEAKER_CACHE[mem_key] = (sigs, int(sr))
     return sigs, int(sr)
 
 
