@@ -46,6 +46,8 @@ from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
 class ConversionResult:
     audio: np.ndarray
     sr: int
+    # converted feature matrices stay device-resident (np.asarray on demand —
+    # eagerly converting would serialize a multi-MB d2h into every conversion)
     converted: dict[str, np.ndarray]
     n_iter: int
     nmf_error: float
@@ -169,7 +171,7 @@ def convert_utterance(
     timings["features"] = t.elapsed
 
     converted_dev: dict[str, jnp.ndarray] = {}
-    n_iter_total, err_total = 0, 0.0
+    states: dict[str, NmfState] = {}
     with Timer("nmf+convert") as t:
         for name, X in feats_in.items():
             A, B = dicts[name]
@@ -181,12 +183,11 @@ def convert_utterance(
                 residual_compensation(Xj, st.H, Aj, mode=cfg.nmf.residual_mode)
                 if use_residual else None
             )
-            # stays on device: synthesis consumes it directly
+            # stays on device: synthesis consumes it directly; scalar stats
+            # sync AFTER the synthesis dispatch (each device→host round trip
+            # costs ~30-45 ms on this backend — overlap it with synthesis)
             converted_dev[name] = convert_features(st.H, Bj, R)
-            n_iter_total += int(st.n_iter)
-            err_total += float(st.error)
-            log.info("NMF[%s]: F=%d K=%d iters=%d err=%.3g", name,
-                     X.shape[0], A.shape[0], int(st.n_iter), float(st.error))
+            states[name] = st
     timings["nmf+convert"] = t.elapsed
 
     with Timer("synthesis") as t:
@@ -210,7 +211,19 @@ def convert_utterance(
                 )
             )
     timings["synthesis"] = t.elapsed
-    converted = {k: np.asarray(v) for k, v in converted_dev.items()}
+
+    # one packed transfer for all solver stats (n_iter, error per feature)
+    stats = np.asarray(jnp.stack([
+        jnp.stack([st.n_iter.astype(jnp.float32), st.error.astype(jnp.float32)])
+        for st in states.values()
+    ]))
+    n_iter_total, err_total = int(stats[:, 0].sum()), float(stats[:, 1].sum())
+    for (name, X), (it, err) in zip(feats_in.items(), stats):
+        log.info("NMF[%s]: F=%d K=%d iters=%d err=%.3g", name,
+                 X.shape[0], dicts[name][0].shape[0], int(it), float(err))
+    # device arrays in the result: converting here would serialize another
+    # multi-MB transfer into every conversion; np.asarray them if needed
+    converted = converted_dev
 
     if out_path is not None:
         write_wav(out_path, audio, sr)

@@ -147,17 +147,25 @@ def make_dictionary(
 
     with Timer("dtw") as t_dtw:
         r = dtw_batch(FA, FB, jnp.asarray(la), jnp.asarray(lb))
-        jax.block_until_ready(r.path_len)
+        # index paths to host in ONE packed transfer: each device→host round
+        # trip costs ~30-45 ms through this environment's TPU tunnel, so four
+        # separate np.asarray calls were pure latency (feature batches stay
+        # device-resident; the store's async writer makes those host copies
+        # off the critical path)
+        N, P = r.path_i.shape
+        packed = np.asarray(jnp.concatenate([
+            r.path_i.reshape(-1), r.path_j.reshape(-1),
+            r.path_len.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(r.distance.astype(jnp.float32), jnp.int32),
+        ]))
     log.info("DTW %d pairs in %.2fs", n, t_dtw.elapsed)
 
-    # index paths to host (small ints, consumers loop over them); feature
-    # batches stay device-resident — the store's async writer makes the host
-    # copies off the critical path
     art = DictionaryArtifacts(
-        path_i=np.asarray(r.path_i), path_j=np.asarray(r.path_j),
-        path_len=np.asarray(r.path_len),
+        path_i=packed[: N * P].reshape(N, P),
+        path_j=packed[N * P : 2 * N * P].reshape(N, P),
+        path_len=packed[2 * N * P : 2 * N * P + N],
         feat_a=FA, feat_b=FB, len_a=la, len_b=lb,
-        distance=np.asarray(r.distance),
+        distance=packed[2 * N * P + N :].view(np.float32),
     )
     store.save(key, **art.__dict__)
     return art

@@ -120,7 +120,7 @@ class Converter:
                 feats_in = extract_world_features(x, cfg)
 
             converted = {}
-            iters, err = 0, 0.0
+            states = []
             for name, X in feats_in.items():
                 A, B = self.dicts[name]
                 Xj = jnp.asarray(X, jnp.float32)
@@ -128,8 +128,7 @@ class Converter:
                 R = (residual_compensation(Xj, st.H, A, mode=cfg.nmf.residual_mode)
                      if self.kind == "world" else None)
                 converted[name] = convert_features(st.H, B, R)
-                iters += int(st.n_iter)
-                err += float(st.error)
+                states.append(st)
 
             if self.kind == "stft":
                 n_iter = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
@@ -146,6 +145,12 @@ class Converter:
                     frame_period_ms=cfg.world.frame_period_ms,
                     fft_size=cfg.world.fft_size,
                 ))
+        # scalar stats sync AFTER synthesis (one packed d2h, overlapped)
+        stats = np.asarray(jnp.stack([
+            jnp.stack([s.n_iter.astype(jnp.float32), s.error.astype(jnp.float32)])
+            for s in states
+        ]))
+        iters, err = int(stats[:, 0].sum()), float(stats[:, 1].sum())
         if out_path is not None:
             write_wav(out_path, audio, sr)
         return Converted(audio=audio, sr=sr, nmf_iters=iters, nmf_error=err,
