@@ -34,7 +34,8 @@ def extract_stft_features(sig: np.ndarray, cfg: Config) -> jnp.ndarray:
 
     m = cfg.mcep
     padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
-    S = stft(jnp.asarray(padded, jnp.float32), n_fft=m.frame_length,
+    # numpy arg rides the jit-call RPC (no eager device_put round trip)
+    S = stft(padded.astype(np.float32), n_fft=m.frame_length,
              hop_length=m.hop_length, window=m.window)
     # |.| on device: the axon TPU cannot transfer complex64 to host anyway
     return jnp.abs(S)[:true_frames]
@@ -45,14 +46,21 @@ from functools import lru_cache
 
 @lru_cache(maxsize=8)
 def _stft_mag_batch(n_fft: int, hop: int, window: str):
-    """One jitted+vmapped |STFT| for a whole speaker batch. Jitting matters:
+    """One jitted |STFT|+mask for a whole speaker batch. Jitting matters:
     an unjitted vmap executes primitive-by-primitive, each a round trip
-    through the TPU tunnel. Cached so the compiled executable is reused."""
+    through the TPU tunnel; the padding mask lives inside the jit so the
+    lens vector rides the call RPC instead of an eager ~27 ms device_put."""
     import jax
 
-    return jax.jit(jax.vmap(
-        lambda x: jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, window=window))
-    ))
+    @jax.jit
+    def fn(xb, lens):
+        mags = jax.vmap(
+            lambda x: jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, window=window))
+        )(xb)
+        mask = jnp.arange(mags.shape[1])[None, :] < lens[:, None]
+        return mags * mask[..., None]
+
+    return fn
 
 
 def extract_stft_features_batch(sigs: list[np.ndarray], cfg: Config) -> list[np.ndarray]:
@@ -79,11 +87,10 @@ def extract_stft_features_stacked(
     batch = np.zeros((len(sigs), target), dtype=np.float32)
     for i, s in enumerate(sigs):
         batch[i, : len(s)] = s
-    mags = _stft_mag_batch(m.frame_length, m.hop_length, m.window)(jnp.asarray(batch))
     lens = np.asarray([1 + len(s) // m.hop_length for s in sigs], np.int32)
-    # zero the padded frames so downstream consumers see silence
-    mask = jnp.arange(mags.shape[1])[None, :] < jnp.asarray(lens)[:, None]
-    return mags * mask[..., None], lens
+    # padded frames zeroed inside the jit so downstream consumers see silence
+    mags = _stft_mag_batch(m.frame_length, m.hop_length, m.window)(batch, lens)
+    return mags, lens
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:

@@ -107,6 +107,12 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
     raise ValueError(f"unknown nmf solver {solver!r}")
 
 
+@jax.jit
+def _pack_audio_stats(audio, *scalars):
+    """Audio + solver scalars in one vector → ONE device→host transfer."""
+    return jnp.concatenate([audio.astype(jnp.float32), jnp.stack(scalars)])
+
+
 def _aligned_dicts(cfg, store, data_path, nb_file):
     """Exemplar dictionaries A/B for every conversion feature, gathered along
     the DTW alignment paths.
@@ -119,17 +125,16 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
     src_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.src, nb_file=nb_file)
     tar_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.tar, nb_file=nb_file)
 
-    path_i = jnp.asarray(dict_art.path_i)
-    path_j = jnp.asarray(dict_art.path_j)
     # exemplar count, rounded to a bucket so the NMF shape is corpus-stable
     k_true = int(np.asarray(dict_art.path_len).sum())
     k_pad = ((k_true + 511) // 512) * 512
     dicts = {}
     for name in src_feats.feats:
+        # feats/paths pass straight into the jit (device arrays no-op; host
+        # numpy rides the call RPC — no eager device_put round trips)
         A, B = build_exemplar_dicts_padded(
-            jnp.asarray(src_feats.feats[name], jnp.float32),
-            jnp.asarray(tar_feats.feats[name], jnp.float32),
-            path_i, path_j, k_pad=k_pad,
+            src_feats.feats[name], tar_feats.feats[name],
+            dict_art.path_i, dict_art.path_j, k_pad=k_pad,
         )
         dicts[name] = (A, B)
     return dicts, src_feats.kind
@@ -193,30 +198,29 @@ def convert_utterance(
     with Timer("synthesis") as t:
         if kind == "stft":
             iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
-            audio = np.asarray(
-                griffin_lim(converted_dev["stft"], n_fft=m.frame_length,
-                            hop_length=m.hop_length, n_iter=iters, length=len(x))
-            )
+            audio_dev = griffin_lim(converted_dev["stft"], n_fft=m.frame_length,
+                                    hop_length=m.hop_length, n_iter=iters,
+                                    length=len(x))
         else:
             from exemplars_vc_tpu.world import synthesize
 
-            audio = np.asarray(
-                synthesize(
-                    jnp.squeeze(converted_dev["f0"], -1),
-                    converted_dev["sp"],
-                    converted_dev["ap"],
-                    sr=sr,
-                    frame_period_ms=cfg.world.frame_period_ms,
-                    fft_size=cfg.world.fft_size,
-                )
+            audio_dev = synthesize(
+                jnp.squeeze(converted_dev["f0"], -1),
+                converted_dev["sp"],
+                converted_dev["ap"],
+                sr=sr,
+                frame_period_ms=cfg.world.frame_period_ms,
+                fft_size=cfg.world.fft_size,
             )
+        # audio + all solver stats (n_iter, error per feature) come back in
+        # ONE transfer — round trips cost ~30-45 ms each on this backend
+        scalars = [s for st in states.values()
+                   for s in (st.n_iter.astype(jnp.float32), st.error)]
+        packed = np.asarray(_pack_audio_stats(audio_dev, *scalars))
+        audio = packed[: audio_dev.shape[0]]
+        stats = packed[audio_dev.shape[0]:].reshape(-1, 2)
     timings["synthesis"] = t.elapsed
 
-    # one packed transfer for all solver stats (n_iter, error per feature)
-    stats = np.asarray(jnp.stack([
-        jnp.stack([st.n_iter.astype(jnp.float32), st.error.astype(jnp.float32)])
-        for st in states.values()
-    ]))
     n_iter_total, err_total = int(stats[:, 0].sum()), float(stats[:, 1].sum())
     for (name, X), (it, err) in zip(feats_in.items(), stats):
         log.info("NMF[%s]: F=%d K=%d iters=%d err=%.3g", name,

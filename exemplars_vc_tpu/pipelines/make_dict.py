@@ -49,21 +49,42 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _mfcc_batch(sr: int, n_fft: int, hop: int, n_mfcc: int, n_mels: int):
-    """Jitted+vmapped whole-speaker MFCC (single device dispatch, cached
-    executable — unjitted vmap would round-trip per primitive)."""
-    return jax.jit(jax.vmap(
-        lambda x: mfcc(x, sr=sr, n_fft=n_fft, hop_length=hop,
-                       n_mfcc=n_mfcc, n_mels=n_mels)
-    ))
+def _mfcc_batch(sr: int, n_fft: int, hop: int, n_mfcc: int, n_mels: int,
+                t_pad: int):
+    """Jitted whole-speaker MFCC: vmap + trim to t_pad + zero-mask padding,
+    ALL inside one dispatch. Jit-call argument uploads are batched with the
+    call on this backend (~1 ms), whereas every eager op/explicit device_put
+    is a ~27 ms round trip — so the lens mask lives inside the jit."""
+
+    @jax.jit
+    def fn(xb, lens):
+        out = jax.vmap(
+            lambda x: mfcc(x, sr=sr, n_fft=n_fft, hop_length=hop,
+                           n_mfcc=n_mfcc, n_mels=n_mels)
+        )(xb)
+        out = (out[:, :t_pad] if out.shape[1] >= t_pad else
+               jnp.pad(out, ((0, 0), (0, t_pad - out.shape[1]), (0, 0))))
+        mask = jnp.arange(t_pad)[None, :] < lens[:, None]
+        return out * mask[..., None]
+
+    return fn
 
 
 @lru_cache(maxsize=8)
-def _mcep_batch(frame_length: int, hop: int, order: int, alpha: float):
-    return jax.jit(jax.vmap(
-        lambda x: mcep(x, frame_length=frame_length, hop_length=hop,
-                       order=order, alpha=alpha)
-    ))
+def _mcep_batch(frame_length: int, hop: int, order: int, alpha: float,
+                t_pad: int):
+    @jax.jit
+    def fn(xb, lens):
+        out = jax.vmap(
+            lambda x: mcep(x, frame_length=frame_length, hop_length=hop,
+                           order=order, alpha=alpha)
+        )(xb)
+        out = (out[:, :t_pad] if out.shape[1] >= t_pad else
+               jnp.pad(out, ((0, 0), (0, t_pad - out.shape[1]), (0, 0))))
+        mask = jnp.arange(t_pad)[None, :] < lens[:, None]
+        return out * mask[..., None]
+
+    return fn
 
 
 def _extract_batch_stacked(
@@ -87,28 +108,34 @@ def _extract_batch_stacked(
     batch = np.zeros((len(sigs), target), dtype=np.float32)
     for i, s in enumerate(sigs):
         batch[i, : len(s)] = s
-    xb = jnp.asarray(batch)
 
     if feat == "mfcc":
-        fn = _mfcc_batch(cfg.data.sr, m.frame_length, m.hop_length, m.n_mfcc, m.n_mels)
         lens = np.asarray([1 + len(s) // m.hop_length for s in sigs], np.int32)
+        t_pad = ((int(lens.max()) + bucket - 1) // bucket) * bucket
+        fn = _mfcc_batch(cfg.data.sr, m.frame_length, m.hop_length,
+                         m.n_mfcc, m.n_mels, t_pad)
     elif feat in ("mcep", "mcc"):
-        fn = _mcep_batch(m.frame_length, m.hop_length, m.order, m.alpha)
         # mcep uses uncentered framing: (len - frame)//hop + 1 frames
         lens = np.asarray(
             [(len(s) - m.frame_length) // m.hop_length + 1 for s in sigs], np.int32
         )
+        t_pad = ((int(lens.max()) + bucket - 1) // bucket) * bucket
+        fn = _mcep_batch(m.frame_length, m.hop_length, m.order, m.alpha, t_pad)
     else:
         raise ValueError(f"unsupported alignment feature {feat!r}")
 
-    out = fn(xb)                                   # (N, T_out, D) on device
-    t_pad = ((int(lens.max()) + bucket - 1) // bucket) * bucket
-    if out.shape[1] >= t_pad:
-        out = out[:, :t_pad]
-    else:
-        out = jnp.pad(out, ((0, 0), (0, t_pad - out.shape[1]), (0, 0)))
-    mask = jnp.arange(t_pad)[None, :] < jnp.asarray(lens)[:, None]
-    return out * mask[..., None], lens
+    # numpy args ride the call RPC (batched upload) — no eager device_put
+    return fn(batch, lens), lens
+
+
+@jax.jit
+def _pack_paths(path_i, path_j, path_len, distance):
+    """Flatten all small DTW outputs into one int32 vector for a single
+    device→host transfer (each round trip is ~30-45 ms on this backend)."""
+    return jnp.concatenate([
+        path_i.reshape(-1), path_j.reshape(-1), path_len.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(distance.astype(jnp.float32), jnp.int32),
+    ])
 
 
 def make_dictionary(
@@ -146,18 +173,14 @@ def make_dictionary(
     log.info("features %s/%s in %.2fs", FA.shape, FB.shape, t_feat.elapsed)
 
     with Timer("dtw") as t_dtw:
-        r = dtw_batch(FA, FB, jnp.asarray(la), jnp.asarray(lb))
+        r = dtw_batch(FA, FB, la, lb)
         # index paths to host in ONE packed transfer: each device→host round
         # trip costs ~30-45 ms through this environment's TPU tunnel, so four
         # separate np.asarray calls were pure latency (feature batches stay
         # device-resident; the store's async writer makes those host copies
         # off the critical path)
         N, P = r.path_i.shape
-        packed = np.asarray(jnp.concatenate([
-            r.path_i.reshape(-1), r.path_j.reshape(-1),
-            r.path_len.astype(jnp.int32),
-            jax.lax.bitcast_convert_type(r.distance.astype(jnp.float32), jnp.int32),
-        ]))
+        packed = np.asarray(_pack_paths(r.path_i, r.path_j, r.path_len, r.distance))
     log.info("DTW %d pairs in %.2fs", n, t_dtw.elapsed)
 
     art = DictionaryArtifacts(

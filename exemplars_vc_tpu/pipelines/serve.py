@@ -132,24 +132,27 @@ class Converter:
 
             if self.kind == "stft":
                 n_iter = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
-                audio = np.asarray(griffin_lim(
+                audio_dev = griffin_lim(
                     converted["stft"], n_fft=cfg.mcep.frame_length,
                     hop_length=cfg.mcep.hop_length, n_iter=n_iter, length=len(x),
-                ))
+                )
             else:
                 from exemplars_vc_tpu.world import synthesize
 
-                audio = np.asarray(synthesize(
+                audio_dev = synthesize(
                     jnp.squeeze(converted["f0"], -1), converted["sp"],
                     converted["ap"], sr=sr,
                     frame_period_ms=cfg.world.frame_period_ms,
                     fft_size=cfg.world.fft_size,
-                ))
-        # scalar stats sync AFTER synthesis (one packed d2h, overlapped)
-        stats = np.asarray(jnp.stack([
-            jnp.stack([s.n_iter.astype(jnp.float32), s.error.astype(jnp.float32)])
-            for s in states
-        ]))
+                )
+            # audio + solver stats in ONE device→host transfer
+            from exemplars_vc_tpu.pipelines.convert import _pack_audio_stats
+
+            scalars = [v for s in states
+                       for v in (s.n_iter.astype(jnp.float32), s.error)]
+            packed = np.asarray(_pack_audio_stats(audio_dev, *scalars))
+            audio = packed[: audio_dev.shape[0]]
+            stats = packed[audio_dev.shape[0]:].reshape(-1, 2)
         iters, err = int(stats[:, 0].sum()), float(stats[:, 1].sum())
         if out_path is not None:
             write_wav(out_path, audio, sr)
