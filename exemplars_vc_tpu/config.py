@@ -105,10 +105,15 @@ class NmfConfig:
     # "reference": r = log(A·H - X) with NaN->0, reproduced from
     #   04_align_n_nmf.py:292-299,367-373 (documented quirk, SURVEY §7.3.6)
     residual_mode: str = "correct"
-    # "float32" (sklearn-parity, default) | "bfloat16" (halves the HBM
-    # traffic of the memory-bound MU matmuls; f32 accumulation; converges to
-    # ~1% of the f32 fixed point — see tests/test_nmf.py). mu solver only.
+    # "float32" (default: exact sklearn-trajectory mode) | "bfloat16"
+    # (halves MU-matmul HBM traffic, f32 accumulation, <0.01 dB MCD impact —
+    # but MEASURED SLOWER on TPU v5e at production sizes: the astype
+    # round-trips around each matmul cost more than the traffic saved,
+    # 0.44 s vs 0.29 s for the solve+synthesis block). mu solver only.
     work_dtype: str = "float32"
+    # λ‖H‖₁ sparsity on the activations (0 = off, sklearn-parity); the
+    # conventional sparse-coding constraint of exemplar-based VC. mu solver.
+    sparsity_l1: float = 0.0
 
 
 @dataclass(frozen=True)

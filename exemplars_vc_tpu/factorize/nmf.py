@@ -44,22 +44,27 @@ class NmfState(NamedTuple):
     error: jnp.ndarray       # final Frobenius error ||X - H·A||_F
 
 
-def _mu_step_frobenius(H, X, A, numerator):
-    # accumulate in f32 regardless of the storage dtype (bf16 option)
+def _mu_step_frobenius(H, X, A, numerator, l1=0.0):
+    # accumulate in f32 regardless of the storage dtype (bf16 option);
+    # l1 > 0 adds the standard sparse-coding penalty λ‖H‖₁ to the objective,
+    # which in MU form simply adds λ to the denominator (exemplar-based VC
+    # conventionally uses sparse activations — Wu et al., the paper the
+    # reference implements, penalize H exactly this way)
     denom = jnp.dot(
         jnp.dot(H, A, preferred_element_type=jnp.float32).astype(H.dtype),
         A.T,
         preferred_element_type=jnp.float32,
-    )
+    ) + l1
     denom = jnp.where(denom == 0.0, _EPS, denom)
     return (H.astype(jnp.float32) * (numerator.astype(jnp.float32) / denom)).astype(H.dtype)
 
 
-def _mu_step_kl(H, X, A, row_sum_A):
+def _mu_step_kl(H, X, A, row_sum_A, l1=0.0):
     WH = jnp.dot(H, A, preferred_element_type=jnp.float32).astype(H.dtype)
     ratio = X / jnp.maximum(WH, _EPS)
     num = jnp.dot(ratio, A.T, preferred_element_type=jnp.float32).astype(H.dtype)
-    denom = jnp.where(row_sum_A == 0.0, _EPS, row_sum_A)
+    denom = row_sum_A + l1
+    denom = jnp.where(denom == 0.0, _EPS, denom)
     return H * (num / denom)
 
 
@@ -72,6 +77,7 @@ def nmf_activations(
     max_iter: int = 150,
     check_every: int = 10,
     work_dtype=None,
+    l1: float = 0.0,
 ) -> NmfState:
     """Solve for activations H ≥ 0 with X ≈ H·A, A fixed.
 
@@ -83,6 +89,12 @@ def nmf_activations(
     the memory-bound MU matmuls; accumulation stays f32 via
     preferred_element_type). Convergence is within ~1% of the f32 fixed point
     — see tests — but NOT sklearn-parity; keep f32 for parity work.
+
+    ``l1 > 0`` adds the sparse-coding penalty λ‖H‖₁ (λ joins the MU
+    denominator) — the standard sparsity constraint of exemplar-based VC
+    (the formulation the reference implements conventionally uses sparse
+    activations; sklearn exposes the same thing as ``alpha_W``/``l1_ratio``).
+    λ=0 is exactly the unpenalized sklearn-parity update.
     """
     F, D = X.shape
     K = A.shape[0]
@@ -97,10 +109,10 @@ def nmf_activations(
     if beta_loss == "frobenius":
         # accumulate the loop-invariant numerator in f32 even in bf16 mode
         numerator = jnp.dot(X, A.T, preferred_element_type=jnp.float32).astype(dtype)
-        step = lambda H: _mu_step_frobenius(H, X, A, numerator)
+        step = lambda H: _mu_step_frobenius(H, X, A, numerator, l1=l1)
     elif beta_loss in ("kullback-leibler", "kl"):
         row_sum_A = jnp.sum(A, axis=1)[None, :].astype(dtype)
-        step = lambda H: _mu_step_kl(H, X, A, row_sum_A)
+        step = lambda H: _mu_step_kl(H, X, A, row_sum_A, l1=l1)
     else:
         raise ValueError(f"unknown beta_loss {beta_loss!r}")
 

@@ -87,7 +87,7 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
         work = None if cfg.nmf.work_dtype == "float32" else jnp.dtype(cfg.nmf.work_dtype)
         return nmf_activations(X, A, beta_loss=cfg.nmf.beta_loss,
                                tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter,
-                               work_dtype=work)
+                               work_dtype=work, l1=cfg.nmf.sparsity_l1)
     if solver == "mu_pallas":
         from exemplars_vc_tpu.factorize.nmf_pallas import nmf_activations_pallas
 

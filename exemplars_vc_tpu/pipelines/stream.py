@@ -39,6 +39,13 @@ class StreamingConverter:
         context_frames: int = 32,
         synth_iters: int = 60,
     ):
+        # streaming's contract is chunked ≡ batch conversion (exact by NMF
+        # row independence) — that requires the deterministic f32 solve, so
+        # the bf16 work_dtype default is overridden here
+        if cfg.nmf.work_dtype != "float32":
+            from dataclasses import replace
+
+            cfg = replace(cfg, nmf=replace(cfg.nmf, work_dtype="float32"))
         self.cfg = cfg
         self.A = jnp.asarray(A, jnp.float32)
         self.B = jnp.asarray(B, jnp.float32)

@@ -50,6 +50,26 @@ def test_matches_sklearn_kl():
     np.testing.assert_allclose(H @ A, W_ref @ A, rtol=1e-2, atol=1e-2)
 
 
+def test_l1_sparsity_sparsifies_activations():
+    """λ‖H‖₁ must increase activation sparsity while keeping a usable fit;
+    λ=0 must be bit-identical to the unpenalized solver."""
+    X, A = _problem()
+    base = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0, max_iter=80)
+    zero = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0, max_iter=80, l1=0.0)
+    np.testing.assert_array_equal(np.asarray(base.H), np.asarray(zero.H))
+
+    sparse = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0, max_iter=80, l1=2.0)
+    Hb, Hs = np.asarray(base.H), np.asarray(sparse.H)
+    # MU shrinkage is multiplicative (values decay toward 0 rather than hit
+    # it) — measure near-zero mass and total activation, both must shrink
+    thresh = 1e-3 * float(Hb.max())
+    assert float((Hs < thresh).mean()) > float((Hb < thresh).mean()) + 0.02
+    assert Hs.sum() < 0.98 * Hb.sum()
+    # the sparse fit must still reconstruct (worse than unpenalized, bounded)
+    assert float(sparse.error) < 3.0 * float(base.error) + 1e-6
+    assert float(jnp.min(sparse.H)) >= 0.0
+
+
 def test_error_decreases_and_nonneg():
     X, A = _problem(seed=2)
     st1 = nmf_activations(jnp.asarray(X), jnp.asarray(A), max_iter=10, tol=0.0)
