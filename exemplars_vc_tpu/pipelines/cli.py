@@ -176,6 +176,43 @@ def cmd_warp_train(args):
     print(json.dumps(metrics))
 
 
+def cmd_separate(args):
+    """Source separation (the vendored-pyfasst capability, separate/)."""
+    import numpy as np
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from exemplars_vc_tpu.io import read_wav, write_wav
+    from exemplars_vc_tpu.separate import separate_signal
+
+    x, sr = read_wav(args.wav)
+    if x.ndim == 1:   # mono input: duplicate to a 2-channel mixture
+        x = np.stack([x, x])
+    images, model = separate_signal(
+        jnp.asarray(x, jnp.float32), n_sources=args.sources,
+        n_components=args.components, n_em=args.em_iters,
+        n_fft=args.n_fft, hop_length=args.hop,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    images = np.asarray(images)
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.wav))[0]
+    outs = []
+    for j in range(args.sources):
+        p = os.path.join(args.out_dir, f"{base}_source{j}.wav")
+        write_wav(p, images[j].mean(axis=0), sr)
+        outs.append(p)
+    nll = np.asarray(model.neg_log_like)
+    print(json.dumps({"out": outs, "sr": sr,
+                      "nll_first": float(nll[0]), "nll_last": float(nll[-1])}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="exemplars-vc-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -223,6 +260,19 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--synth-iters", type=int, default=None)
     p.set_defaults(fn=cmd_convert_dir)
+
+    p = sub.add_parser("separate", help="multichannel NMF source separation "
+                                        "(FASST-class, separate/)")
+    p.add_argument("--wav", required=True, help="mixture wav (stereo, or mono duplicated)")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--sources", type=int, default=2)
+    p.add_argument("--components", type=int, default=8)
+    p.add_argument("--em-iters", type=int, default=50)
+    p.add_argument("--n-fft", type=int, default=400)
+    p.add_argument("--hop", type=int, default=80)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=cmd_separate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -151,6 +151,19 @@ def test_cli_convert_dir(tmp_path, capsys):
     assert os.path.isfile(str(tmp_path / "out" / "100001.wav"))
 
 
+def test_cli_separate(tmp_path, capsys):
+    from exemplars_vc_tpu.pipelines.cli import main
+
+    main(["separate", "--wav", os.path.join(DATA, "SF1", "100001.wav"),
+          "--out-dir", str(tmp_path / "sep"), "--sources", "2",
+          "--components", "2", "--em-iters", "4", "--n-fft", "128",
+          "--hop", "64"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["out"]) == 2
+    assert all(os.path.isfile(p) for p in payload["out"])
+    assert payload["nll_last"] < payload["nll_first"]
+
+
 def test_make_dictionary_mcep_feature(cfg, tmp_path):
     from exemplars_vc_tpu.io import ArtifactStore
 
