@@ -73,11 +73,26 @@ def probe_device(timeout_s: int = 150) -> bool:
     return ok
 
 
+def probe_device_with_retry(attempts: int = 4, wait_s: int = 150) -> bool:
+    """The axon grant wedge usually clears within minutes; retry before
+    giving up on the chip (the CPU fallback misrepresents the framework by
+    ~10×, so a few minutes of waiting is the right trade inside the
+    driver's timeout budget)."""
+    for i in range(attempts):
+        if probe_device():
+            return True
+        if i + 1 < attempts:
+            log(f"device probe failed (attempt {i + 1}/{attempts}); "
+                f"waiting {wait_s}s for the grant to clear")
+            time.sleep(wait_s)
+    return False
+
+
 def main():
     import os as _os
 
-    if _os.environ.get("JAX_PLATFORMS", "") != "cpu" and not probe_device():
-        log("WARNING: device probe failed (see above); falling back to CPU")
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu" and not probe_device_with_retry():
+        log("WARNING: device probe failed after retries; falling back to CPU")
         _os.environ["JAX_PLATFORMS"] = "cpu"
         import jax as _jax
 

@@ -1,0 +1,80 @@
+"""Corpus-scale source separation: mixtures data-parallel over the mesh.
+
+The vendored pyfasst separates one mixture per process invocation
+(``audioModel.py`` — a FASST object wraps a single audio file); at corpus
+scale the reference's answer would have been another ``multiprocessing.Pool``
+fan-out. Here the whole corpus is one jitted computation: the multichannel
+NMF EM (separate.multichannel) vmaps over a padded batch of mixture STFTs,
+and the batch axis shards over the mesh's ``data`` axis — every EM step runs
+on all mixtures on all chips with NO cross-device communication (mixtures
+are independent; the sharding is pure SPMD fan-out, the TPU-native analog of
+the reference's process pool).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exemplars_vc_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
+from exemplars_vc_tpu.separate.multichannel import _em_loop, _wiener_images
+
+
+@partial(jax.jit, static_argnames=("n_em", "n_nmf_inner"))
+def _em_batch(X, W0, H0, R0, n_em: int, n_nmf_inner: int):
+    """vmapped EM over a batch of mixtures: X (M, F, N, C), params (M, ...)."""
+    return jax.vmap(lambda x, w, h, r: _em_loop(x, w, h, r, n_em, n_nmf_inner))(
+        X, W0, H0, R0
+    )
+
+
+@jax.jit
+def _images_batch(X, W, H, R):
+    return jax.vmap(_wiener_images)(X, W, H, R)
+
+
+def separate_batch(
+    X: jnp.ndarray,
+    n_sources: int = 2,
+    n_components: int = 4,
+    n_em: int = 30,
+    n_nmf_inner: int = 1,
+    key: jax.Array | None = None,
+    mesh=None,
+):
+    """Fit + separate a batch of mixture STFTs, sharded over the data axis.
+
+    X: (M, F, N, C) complex mixture STFTs (pad ragged mixtures to a common
+    frame count; padded frames are near-silent and separate harmlessly).
+    Returns (images (M, J, F, N, C) complex — still device-resident and
+    sharded — and the per-mixture negative-log-likelihood traces (M, n_em)).
+    """
+    M, F, N, C = X.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kw, kh, kr = jax.random.split(key, 3)
+    J, K = n_sources, n_components
+    W0 = jax.random.normal(kw, (M, J, F, K)) ** 2
+    H0 = jax.random.normal(kh, (M, J, K, N)) ** 2
+    a = (jax.random.normal(kr, (M, J, C))
+         + 1j * jax.random.normal(jax.random.fold_in(kr, 1), (M, J, C)))
+    aaH = a[..., :, None] * jnp.conj(a)[..., None, :]
+    tr = jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1))[..., None, None]
+    aaH = aaH / jnp.maximum(tr, 1e-10)
+    R0 = (0.8 * jnp.eye(C, dtype=jnp.complex64)[None, None]
+          + 0.2 * C * aaH.astype(jnp.complex64))
+    R0 = jnp.broadcast_to(R0[:, :, None], (M, J, F, C, C)).astype(jnp.complex64)
+
+    if mesh is None:
+        mesh = make_mesh()
+    with mesh:
+        Xs = shard_batch(jnp.asarray(X, jnp.complex64), mesh)
+        W0 = shard_batch(W0.astype(jnp.float32), mesh)
+        H0 = shard_batch(H0.astype(jnp.float32), mesh)
+        R0 = shard_batch(R0, mesh)
+        model = _em_batch(Xs, W0, H0, R0, n_em, n_nmf_inner)
+        images = _images_batch(Xs, model.W, model.H, model.R)
+    return images, model.neg_log_like
