@@ -19,8 +19,12 @@ research pipeline ``entn-at/exemplars_vc`` (see SURVEY.md):
                  ``04_align_n_nmf.py:194-333``)
 - ``models``     scan-based LSTM warping net + training loop (replaces
                  ``models.py`` / ``02_freq_warping_neural.py``)
-- ``parallel``   device meshes, sharded NMF/DTW, multi-host init (new; the
-                 reference only has multiprocessing.Pool)
+- ``separate``   source separation — the vendored pyfasst capability set:
+                 IS-NMF tools, source/filter NMF, FASST-class multichannel
+                 NMF EM with Wiener filtering (``dependencies/pyfasst-master``)
+- ``parallel``   device meshes, sharded NMF/DTW, batched separation,
+                 multi-host init (new; the reference only has
+                 multiprocessing.Pool)
 - ``pipelines``  the end-to-end stages 01..05 as library functions + CLI
 - ``obs``        logging, metrics (MCD), profiling hooks
 """

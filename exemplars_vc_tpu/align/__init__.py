@@ -5,5 +5,6 @@ from exemplars_vc_tpu.align.dtw import (  # noqa: F401
 )
 from exemplars_vc_tpu.align.exemplar import (  # noqa: F401
     build_exemplar_dicts,
+    build_exemplar_dicts_padded,
     gather_aligned,
 )
