@@ -14,12 +14,34 @@ core of that toolbox TPU-first:
   covariance, Wiener-filter separation), jitted end-to-end
   (≙ ``pyfasst/audioModel.py:FASST/MultiChanNMFInst_FASST/MultiChanNMFConv``).
 
+- ``hmm``: HMM/SHMM spectral-state models — one active spectral state per
+  frame, Viterbi-decoded, count-based transition re-estimation
+  (≙ ``MultiChanHMM``/``makeItHMM``/``makeItSHMM``).
+- ``demix``: DEMIX anechoic mixing-direction clustering (pan angle + delay)
+  with steering-vector / spatial-covariance init export (≙ ``demixTF.py``).
+- ``lead``: SIMM lead/accompaniment separation — source/filter melody model,
+  Viterbi melody tracking, two-pass estimation, Wiener resynthesis
+  (≙ ``SeparateLeadStereo``/``SIMM``).
+
 The Viterbi tracking kernel (pyfasst's only native extension) lives in
 ``align.viterbi``; melody-style f0 tracking built on it is
 ``world.f0.estimate_f0_tracked``.
 """
 
+from exemplars_vc_tpu.separate.demix import DemixEstimate, demix
+from exemplars_vc_tpu.separate.hmm import (
+    HMMSpectra,
+    fit_hmm_spectra,
+    fit_multichannel_hmm,
+    sticky_transition,
+)
 from exemplars_vc_tpu.separate.isnmf import is_nmf, is_divergence, sf_nmf
+from exemplars_vc_tpu.separate.lead import (
+    LeadSeparation,
+    harmonic_dictionary,
+    hann_filter_basis,
+    separate_lead,
+)
 from exemplars_vc_tpu.separate.multichannel import (
     MultichannelNMF,
     fit_multichannel_nmf,
@@ -33,4 +55,14 @@ __all__ = [
     "MultichannelNMF",
     "fit_multichannel_nmf",
     "separate_signal",
+    "DemixEstimate",
+    "demix",
+    "HMMSpectra",
+    "fit_hmm_spectra",
+    "fit_multichannel_hmm",
+    "sticky_transition",
+    "LeadSeparation",
+    "harmonic_dictionary",
+    "hann_filter_basis",
+    "separate_lead",
 ]

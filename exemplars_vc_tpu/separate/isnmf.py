@@ -106,13 +106,14 @@ def is_nmf(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_iter", "update_W", "update_H", "update_W_filt", "update_H_filt"
+        "n_iter", "update_W", "update_H", "update_W_filt", "update_H_filt",
+        "update_res",
     ),
 )
 def _sf_nmf_loop(
     SX, W0, H0, WF0, HF0, WR0, HR0,
     n_iter: int, update_W: bool, update_H: bool,
-    update_W_filt: bool, update_H_filt: bool,
+    update_W_filt: bool, update_H_filt: bool, update_res: bool = True,
 ):
     def recon(W, H, WF, HF, WR, HR):
         SF0 = jnp.dot(W, H, preferred_element_type=jnp.float32)
@@ -158,19 +159,22 @@ def _sf_nmf_loop(
             sumH = jnp.where(sumH == 0.0, 1.0, sumH)
             HF = HF / sumH[None, :]
 
-        # residual components are always updated — tools/nmf.py:328-359
-        _, _, _, hatSX = recon(W, H, WF, HF, WR, HR)
-        num = jnp.dot(SX / jnp.maximum(hatSX * hatSX, _EPS), HR.T)
-        den = jnp.dot(1.0 / jnp.maximum(hatSX, _EPS), HR.T)
-        WR = WR * (num / jnp.maximum(den, _EPS))
-        sumW = WR.sum(axis=0)
-        sumW = jnp.where(sumW == 0.0, 1.0, sumW)
-        WR, HR = WR / sumW, HR * sumW[:, None]
+        # residual components — pyfasst updates them every iteration
+        # (tools/nmf.py:328-359); ``update_res=False`` freezes them (used by
+        # the SIMM warm-up so the structured model claims its energy first)
+        if update_res:
+            _, _, _, hatSX = recon(W, H, WF, HF, WR, HR)
+            num = jnp.dot(SX / jnp.maximum(hatSX * hatSX, _EPS), HR.T)
+            den = jnp.dot(1.0 / jnp.maximum(hatSX, _EPS), HR.T)
+            WR = WR * (num / jnp.maximum(den, _EPS))
+            sumW = WR.sum(axis=0)
+            sumW = jnp.where(sumW == 0.0, 1.0, sumW)
+            WR, HR = WR / sumW, HR * sumW[:, None]
 
-        _, _, _, hatSX = recon(W, H, WF, HF, WR, HR)
-        num = jnp.dot(WR.T, SX / jnp.maximum(hatSX * hatSX, _EPS))
-        den = jnp.dot(WR.T, 1.0 / jnp.maximum(hatSX, _EPS))
-        HR = HR * (num / jnp.maximum(den, _EPS))
+            _, _, _, hatSX = recon(W, H, WF, HF, WR, HR)
+            num = jnp.dot(WR.T, SX / jnp.maximum(hatSX * hatSX, _EPS))
+            den = jnp.dot(WR.T, 1.0 / jnp.maximum(hatSX, _EPS))
+            HR = HR * (num / jnp.maximum(den, _EPS))
 
         return W, H, WF, HF, WR, HR
 
@@ -188,10 +192,13 @@ def sf_nmf(
     H_init: jnp.ndarray | None = None,
     W_filt_init: jnp.ndarray | None = None,
     H_filt_init: jnp.ndarray | None = None,
+    W_res_init: jnp.ndarray | None = None,
+    H_res_init: jnp.ndarray | None = None,
     update_W: bool = True,
     update_H: bool = True,
     update_W_filt: bool = True,
     update_H_filt: bool = True,
+    update_res: bool = True,
 ):
     """Source/filter NMF: SX ≈ (W·H) ⊙ (WFilt·HFilt) + Wres·Hres.
 
@@ -218,8 +225,8 @@ def sf_nmf(
     H = init(ks[1], (n_components, N), H_init)
     WF = init(ks[2], (F, n_filt_components), W_filt_init)
     HF = init(ks[3], (n_filt_components, N), H_filt_init)
-    WR = init(ks[4], (F, n_res_components), None, squared=False)
-    HR = init(ks[5], (n_res_components, N), None, squared=False)
+    WR = init(ks[4], (F, n_res_components), W_res_init, squared=False)
+    HR = init(ks[5], (n_res_components, N), H_res_init, squared=False)
     if update_W:
         W = W / W.sum(axis=0)
     if update_W_filt:
@@ -227,5 +234,5 @@ def sf_nmf(
 
     return _sf_nmf_loop(
         jnp.asarray(SX, jnp.float32), W, H, WF, HF, WR, HR,
-        n_iter, update_W, update_H, update_W_filt, update_H_filt,
+        n_iter, update_W, update_H, update_W_filt, update_H_filt, update_res,
     )

@@ -80,60 +80,70 @@ def _hermitize(M: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (M + jnp.conj(jnp.swapaxes(M, -1, -2)))
 
 
+def _spatial_estep(XX, v, R):
+    """Shared E-step + spatial M-step of the FASST local Gaussian model.
+
+    XX: (F, N, C, C) data outer products; v: (J, F, N) current spectral
+    power model; R: (J, F, C, C) spatial covariances. Returns
+    (R_new, scale, z, nll): the trace-normalized updated spatial
+    covariances, the (J, F) scale to ship into the spectral model,
+    the (J, F, N) posterior spectral statistics, and the data negative
+    log-likelihood under the CURRENT parameters.
+    """
+    C = XX.shape[-1]
+    rdt = XX.real.dtype
+    eye = jnp.eye(C, dtype=XX.dtype)
+
+    # Σ_x(f,n) = Σ_j v_j R_j(f) + δI — δ scaled to the mixture power
+    Sigma = jnp.einsum("jfn,jfcd->fncd", v.astype(rdt), R)
+    tr = jnp.real(jnp.trace(Sigma, axis1=-2, axis2=-1))
+    delta = (1e-6 * tr / C + 1e-12).astype(rdt)
+    Sigma = Sigma + delta[..., None, None] * eye
+    Sinv = _inv_hermitian(Sigma)                               # (F,N,C,C)
+
+    # Wiener gains and posterior moments, all sources at once
+    vR = v[..., None, None].astype(rdt) * R[:, :, None, :, :]  # (J,F,N,C,C)
+    G = jnp.einsum("jfncd,fnde->jfnce", vR, Sinv)              # (J,F,N,C,C)
+    # ŷŷᴴ = G (x xᴴ) Gᴴ ; R̂ = ŷŷᴴ + (I − G) v R
+    GX = jnp.einsum("jfncd,fnde->jfnce", G, XX)
+    yyH = jnp.einsum("jfncd,jfned->jfnce", GX, jnp.conj(G))
+    Rhat = yyH + vR - jnp.einsum("jfncd,jfnde->jfnce", G, vR)
+
+    # negative log-likelihood of the data under Σ_x (monotone under EM):
+    # Σ_fn [ log det Σ_x + xᴴ Σ_x⁻¹ x ]
+    if C == 2:
+        det = jnp.real(
+            Sigma[..., 0, 0] * Sigma[..., 1, 1]
+            - Sigma[..., 0, 1] * Sigma[..., 1, 0]
+        )
+    else:
+        det = jnp.real(jnp.linalg.det(Sigma))
+    quad = jnp.real(jnp.einsum("fncd,fndc->fn", Sinv, XX))
+    nll = jnp.sum(jnp.log(jnp.maximum(det, 1e-30)) + quad)
+
+    # ---- M-step: spatial covariances ---------------------------------------
+    R_new = _hermitize(jnp.mean(Rhat / v[..., None, None].astype(rdt), axis=2))
+    # scale indeterminacy: normalize tr(R_j(f)) = C, energy into the spectra
+    trR = jnp.maximum(jnp.real(jnp.trace(R_new, axis1=-2, axis2=-1)), _EPS)
+    R_new = R_new * (C / trR)[..., None, None].astype(rdt)
+
+    # ---- posterior spectral statistics --------------------------------------
+    Rinv = _inv_hermitian(R_new)
+    z = jnp.real(jnp.einsum("jfcd,jfndc->jfn", Rinv, Rhat)) / C
+    return R_new, trR / C, jnp.maximum(z, _EPS), nll
+
+
 @partial(jax.jit, static_argnames=("n_em", "n_nmf_inner"))
 def _em_loop(X, W0, H0, R0, n_em: int, n_nmf_inner: int):
     """X: (F, N, C) complex64. Returns the fitted MultichannelNMF."""
-    F, N, C = X.shape
-    J = W0.shape[0]
-    eye = jnp.eye(C, dtype=X.dtype)
-
     # x xᴴ outer products are loop-invariant: (F, N, C, C)
     XX = X[..., :, None] * jnp.conj(X)[..., None, :]
 
     def em_step(carry, _):
         W, H, R = carry
         v = jnp.maximum(jnp.einsum("jfk,jkn->jfn", W, H), _EPS)   # (J,F,N)
-
-        # Σ_x(f,n) = Σ_j v_j R_j(f) + δI — δ scaled to the mixture power
-        Sigma = jnp.einsum("jfn,jfcd->fncd", v.astype(X.real.dtype), R)
-        tr = jnp.real(jnp.trace(Sigma, axis1=-2, axis2=-1))
-        delta = (1e-6 * tr / C + 1e-12).astype(X.real.dtype)
-        Sigma = Sigma + delta[..., None, None] * eye
-        Sinv = _inv_hermitian(Sigma)                               # (F,N,C,C)
-
-        # Wiener gains and posterior moments, all sources at once
-        vR = v[..., None, None].astype(X.real.dtype) * R[:, :, None, :, :]  # (J,F,N,C,C)
-        G = jnp.einsum("jfncd,fnde->jfnce", vR, Sinv)              # (J,F,N,C,C)
-        # ŷŷᴴ = G (x xᴴ) Gᴴ ; R̂ = ŷŷᴴ + (I − G) v R
-        GX = jnp.einsum("jfncd,fnde->jfnce", G, XX)
-        yyH = jnp.einsum("jfncd,jfned->jfnce", GX, jnp.conj(G))
-        Rhat = yyH + vR - jnp.einsum("jfncd,jfnde->jfnce", G, vR)
-
-        # negative log-likelihood of the data under Σ_x (monotone under EM):
-        # Σ_fn [ log det Σ_x + xᴴ Σ_x⁻¹ x ]
-        if C == 2:
-            det = jnp.real(
-                Sigma[..., 0, 0] * Sigma[..., 1, 1]
-                - Sigma[..., 0, 1] * Sigma[..., 1, 0]
-            )
-        else:
-            det = jnp.real(jnp.linalg.det(Sigma))
-        quad = jnp.real(jnp.einsum("fncd,fndc->fn", Sinv, XX))
-        nll = jnp.sum(jnp.log(jnp.maximum(det, 1e-30)) + quad)
-
-        # ---- M-step: spatial covariances ----------------------------------
-        R_new = _hermitize(
-            jnp.mean(Rhat / v[..., None, None].astype(X.real.dtype), axis=2)
-        )                                                          # (J,F,C,C)
-        # scale indeterminacy: normalize tr(R_j(f)) = C, energy into W
-        trR = jnp.maximum(jnp.real(jnp.trace(R_new, axis1=-2, axis2=-1)), _EPS)
-        R_new = R_new * (C / trR)[..., None, None].astype(X.real.dtype)
-        W = W * (trR / C)[..., None]
-
-        # ---- M-step: spectral statistics + IS-NMF updates ------------------
-        Rinv = _inv_hermitian(R_new)
-        z = jnp.real(jnp.einsum("jfcd,jfndc->jfn", Rinv, Rhat)) / C
-        z = jnp.maximum(z, _EPS)                                   # (J,F,N)
+        R_new, scale, z, nll = _spatial_estep(XX, v, R)
+        W = W * scale[..., None]
 
         def nmf_update(_, WH):
             Wj, Hj = WH
@@ -223,6 +233,8 @@ def separate_signal(
     n_fft: int = 400,
     hop_length: int = 80,
     key: jax.Array | None = None,
+    spectral_model: str = "nmf",
+    spatial_init: str = "random",
 ) -> tuple[jnp.ndarray, MultichannelNMF]:
     """Separate a multichannel signal x (C, T) into source images (J, C, T).
 
@@ -233,6 +245,11 @@ def separate_signal(
     spatial directions the model assigns (near-)zero power — small after a
     converged fit, but not identically zero (Wiener masks sum to
     I − δΣ_x⁻¹, and Σ_x is the *model* covariance, not the empirical one).
+
+    spectral_model: ``"nmf"`` (MultiChanNMF*), ``"hmm"`` / ``"shmm"``
+    (MultiChanHMM — ``n_components`` is then the number of HMM states).
+    spatial_init: ``"random"`` or ``"demix"`` (DEMIX direction clustering
+    seeds the spatial covariances; stereo input only).
     """
     from exemplars_vc_tpu.dsp.stft import istft, stft
 
@@ -240,9 +257,32 @@ def separate_signal(
     C, T = x.shape
     S = stft(x, n_fft=n_fft, hop_length=hop_length)    # (C, frames, bins)
     X = jnp.transpose(S, (2, 1, 0))                     # (F, N, C)
-    model = fit_multichannel_nmf(
-        X, n_sources=n_sources, n_components=n_components, n_em=n_em, key=key
-    )
+
+    R_init = None
+    if spatial_init == "demix":
+        from exemplars_vc_tpu.separate.demix import demix
+
+        est = demix(x, n_sources=n_sources, n_fft=n_fft, hop_length=hop_length)
+        import numpy as np
+
+        R_init = est.spatial_init(np.arange(X.shape[0]) / n_fft)
+    elif spatial_init != "random":
+        raise ValueError(f"unknown spatial_init {spatial_init!r}")
+
+    if spectral_model in ("hmm", "shmm"):
+        from exemplars_vc_tpu.separate.hmm import fit_multichannel_hmm
+
+        model = fit_multichannel_hmm(
+            X, n_sources=n_sources, n_states=n_components, n_em=n_em,
+            sticky=spectral_model == "shmm", key=key, R_init=R_init,
+        )
+    elif spectral_model == "nmf":
+        model = fit_multichannel_nmf(
+            X, n_sources=n_sources, n_components=n_components, n_em=n_em,
+            key=key, R_init=R_init,
+        )
+    else:
+        raise ValueError(f"unknown spectral_model {spectral_model!r}")
     Y = _wiener_images(X, model.W, model.H, model.R)    # (J, F, N, C)
     specs = jnp.transpose(Y, (0, 3, 2, 1))              # (J, C, frames, bins)
     flat = specs.reshape((-1,) + specs.shape[2:])
