@@ -28,6 +28,12 @@ The Viterbi tracking kernel (pyfasst's only native extension) lives in
 ``world.f0.estimate_f0_tracked``.
 """
 
+from exemplars_vc_tpu.separate.beamform import (
+    apply_beamformer,
+    directivity_diagram,
+    mvdr_filter,
+    ula_steering,
+)
 from exemplars_vc_tpu.separate.demix import DemixEstimate, demix
 from exemplars_vc_tpu.separate.hmm import (
     HMMSpectra,
@@ -65,4 +71,8 @@ __all__ = [
     "harmonic_dictionary",
     "hann_filter_basis",
     "separate_lead",
+    "ula_steering",
+    "mvdr_filter",
+    "directivity_diagram",
+    "apply_beamformer",
 ]
