@@ -83,3 +83,34 @@ def cqt(
 
 def cqt_magnitude(x: jnp.ndarray, **kw) -> jnp.ndarray:
     return jnp.abs(cqt(x, **kw))
+
+
+def hybrid_cqt(
+    x: jnp.ndarray,
+    sr: int = 16000,
+    hop_length: int = 80,
+    fmin: float = 32.70319566257483,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    n_fft: int = 400,
+) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+    """Hybrid constant-Q + linear-frequency analysis.
+
+    The capability of pyfasst's ``HybridCQTKernel``/``MinQTKernel``
+    (``tftransforms/hybridcqt.py:180-339`` — a CQT whose kernel is completed
+    with "missing" linear-frequency bins above the top CQ band): constant-Q
+    bins up to the top CQ center frequency, then the STFT's linear bins for
+    the remaining spectrum, both on the same hop grid. Returns
+    ``(cq_coeffs (..., frames, n_bins), lin_coeffs (..., frames, n_lin),
+    lin_freqs_hz)``; frame counts are aligned by truncation to the shorter.
+    """
+    from exemplars_vc_tpu.dsp.stft import stft
+
+    cq = cqt(x, sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins,
+             bins_per_octave=bins_per_octave)
+    f_top = float(cqt_frequencies(n_bins, fmin, bins_per_octave)[-1])
+    spec = stft(x, n_fft=n_fft, hop_length=hop_length)     # (..., frames, bins)
+    lin_freqs = np.arange(n_fft // 2 + 1) * sr / n_fft
+    k0 = int(np.searchsorted(lin_freqs, f_top, side="right"))
+    n = min(cq.shape[-2], spec.shape[-2])
+    return cq[..., :n, :], spec[..., :n, k0:], lin_freqs[k0:]

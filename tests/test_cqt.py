@@ -62,3 +62,22 @@ def test_cqt_batched_leading_axes():
     assert C.shape[:1] == (3,) and C.shape[-1] == 24
     single = cqt(jnp.asarray(x[1]), sr=8000, hop_length=500, fmin=110.0, n_bins=24)
     np.testing.assert_allclose(np.asarray(C[1]), np.asarray(single), rtol=1e-5)
+
+
+def test_hybrid_cqt_covers_full_spectrum():
+    from exemplars_vc_tpu.dsp.cqt import hybrid_cqt
+
+    sr, f_lo, f_hi = 16000, 220.0, 7000.0
+    t = np.arange(8000) / sr
+    x = (np.sin(2 * np.pi * f_lo * t) + np.sin(2 * np.pi * f_hi * t)).astype(np.float32)
+    # 60 CQ bins from C1: top CQ band ≈ 1047 Hz → 7 kHz only in the linear part
+    cq, lin, lin_freqs = hybrid_cqt(jnp.asarray(x), sr=sr, n_bins=60)
+    assert cq.shape[-2] == lin.shape[-2]               # aligned hop grid
+    freqs_cq = cqt_frequencies(60, 32.70319566257483)
+    assert lin_freqs[0] > freqs_cq[-1]                 # complementary coverage
+    # the low tone peaks in the CQ part at the right bin
+    k_lo = int(np.argmax(np.abs(np.asarray(cq)).mean(axis=0)))
+    assert abs(freqs_cq[k_lo] - f_lo) / f_lo < 0.06
+    # the high tone peaks in the linear part at the right bin
+    k_hi = int(np.argmax(np.abs(np.asarray(lin)).mean(axis=0)))
+    assert abs(lin_freqs[k_hi] - f_hi) < 40.0 + 1e-9

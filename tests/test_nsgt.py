@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from exemplars_vc_tpu.dsp import fft as F
-from exemplars_vc_tpu.dsp import nsgt as N
+from exemplars_vc_tpu.dsp.nsgt import insgt, nsgt, nsgt_plan
 
 
 def _force_matmul(monkeypatch):
@@ -62,7 +62,7 @@ def test_fft_pad_and_native_parity():
 # ----------------------------------------------------------------------- NSGT
 
 def test_plan_shapes_and_m_divides_l():
-    p = N.nsgt_plan(16000, 3000, fmin=100.0, bins_per_octave=12)
+    p = nsgt_plan(16000, 3000, fmin=100.0, bins_per_octave=12)
     assert p.L % 256 == 0 and p.L >= 3000
     assert p.L % p.M == 0
     assert p.n_bands == 2 * p.n_pos + 2
@@ -73,8 +73,8 @@ def test_plan_shapes_and_m_divides_l():
 def test_perfect_reconstruction():
     rng = np.random.default_rng(3)
     x = rng.standard_normal(3000).astype(np.float32)
-    c = N.nsgt(jnp.asarray(x), sr=16000, fmin=100.0)
-    back = np.asarray(N.insgt(c, 3000, sr=16000, fmin=100.0))
+    c = nsgt(jnp.asarray(x), sr=16000, fmin=100.0)
+    back = np.asarray(insgt(c, 3000, sr=16000, fmin=100.0))
     np.testing.assert_allclose(back, x, atol=5e-4 * np.abs(x).max())
 
 
@@ -82,9 +82,9 @@ def test_perfect_reconstruction_batched_matmul_path(monkeypatch):
     _force_matmul(monkeypatch)
     rng = np.random.default_rng(4)
     x = rng.standard_normal((2, 2800)).astype(np.float32)
-    c = N.nsgt(jnp.asarray(x), sr=16000, fmin=120.0, bins_per_octave=8)
-    assert c.shape[:2] == (2, N.nsgt_plan(16000, 2800, 120.0, 8).n_bands)
-    back = np.asarray(N.insgt(c, 2800, sr=16000, fmin=120.0, bins_per_octave=8))
+    c = nsgt(jnp.asarray(x), sr=16000, fmin=120.0, bins_per_octave=8)
+    assert c.shape[:2] == (2, nsgt_plan(16000, 2800, 120.0, 8).n_bands)
+    back = np.asarray(insgt(c, 2800, sr=16000, fmin=120.0, bins_per_octave=8))
     np.testing.assert_allclose(back, x, atol=2e-3)
 
 
@@ -92,8 +92,8 @@ def test_tone_lands_in_matching_band():
     sr, Ls, f0 = 16000, 4000, 880.0
     t = np.arange(Ls) / sr
     x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
-    p = N.nsgt_plan(sr, Ls, fmin=100.0, bins_per_octave=12)
-    mag = np.abs(np.asarray(N.nsgt(jnp.asarray(x), sr=sr, fmin=100.0)))
+    p = nsgt_plan(sr, Ls, fmin=100.0, bins_per_octave=12)
+    mag = np.abs(np.asarray(nsgt(jnp.asarray(x), sr=sr, fmin=100.0)))
     # strongest positive-frequency band should be the one nearest 880 Hz
     band_energy = mag[1 : p.n_pos + 1].sum(axis=-1)
     expect = np.argmin(np.abs(p.freqs[1 : p.n_pos + 1] - f0))
@@ -101,7 +101,7 @@ def test_tone_lands_in_matching_band():
 
 
 def test_constant_q_band_supports_scale_with_frequency():
-    p = N.nsgt_plan(16000, 8000, fmin=100.0, bins_per_octave=12)
+    p = nsgt_plan(16000, 8000, fmin=100.0, bins_per_octave=12)
     lens = (p.win > 0).sum(axis=1)[1 : p.n_pos + 1]
     # supports grow roughly geometrically with center frequency (constant Q)
     assert lens[-1] > 4 * lens[0]
