@@ -59,7 +59,7 @@ def mvdr_filter(
     complex64, unit response toward the target.
     """
     at = jnp.asarray(steer_target)
-    F_, C = at.shape
+    C = at.shape[-1]
     R = at[..., :, None] * jnp.conj(at[..., None, :])                # (F,C,C)
     if steer_interf is not None:
         ai = jnp.asarray(steer_interf)
