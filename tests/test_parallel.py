@@ -78,3 +78,20 @@ def test_initialize_multihost_single_process():
     info = initialize_multihost()
     assert info["process_count"] == 1
     assert info["global_devices"] == 8
+
+
+def test_batch_sharded_nsgt_matches_single_device():
+    """Corpus-scale NSGT analysis: signal batch sharded over the data axis of
+    the mesh must reproduce the single-device transform exactly."""
+    from exemplars_vc_tpu.dsp.nsgt import insgt, nsgt
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, 2560)).astype(np.float32)
+    want = np.asarray(nsgt(jnp.asarray(x), sr=16000, fmin=150.0))
+
+    mesh = make_mesh(data=8, dict_=1)
+    xs = shard_batch(x, mesh)
+    got_c = jax.jit(lambda s: nsgt(s, sr=16000, fmin=150.0))(xs)
+    np.testing.assert_allclose(np.asarray(got_c), want, atol=1e-5)
+    back = np.asarray(jax.jit(lambda c: insgt(c, 2560, sr=16000, fmin=150.0))(got_c))
+    np.testing.assert_allclose(back, x, atol=1e-3)
