@@ -54,6 +54,13 @@ def _irdft_mats(n: int):
     return cr, ci
 
 
+def _pad_trunc_last(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        return jnp.pad(x, pad)
+    return x[..., :n]
+
+
 def rfft(x: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
     """Real FFT along the last axis (axis=-1 only)."""
     if axis != -1:
@@ -62,11 +69,7 @@ def rfft(x: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
         n = x.shape[-1]
     if _use_native():
         return jnp.fft.rfft(x, n=n, axis=-1)
-    if x.shape[-1] < n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-        x = jnp.pad(x, pad)
-    elif x.shape[-1] > n:
-        x = x[..., :n]
+    x = _pad_trunc_last(x, n)
     C, S = _rdft_mats(n)
     xr = x.astype(jnp.float32)
     re = jnp.dot(xr, jnp.asarray(C), preferred_element_type=jnp.float32)
@@ -83,11 +86,7 @@ def irfft(X: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
     if _use_native():
         return jnp.fft.irfft(X, n=n, axis=-1)
     n_bins = n // 2 + 1
-    if X.shape[-1] < n_bins:
-        pad = [(0, 0)] * (X.ndim - 1) + [(0, n_bins - X.shape[-1])]
-        X = jnp.pad(X, pad)
-    elif X.shape[-1] > n_bins:
-        X = X[..., :n_bins]
+    X = _pad_trunc_last(X, n_bins)
     CR, CI = _irdft_mats(n)
     Xc = X.astype(jnp.complex64) if not jnp.iscomplexobj(X) else X
     re = jnp.real(Xc).astype(jnp.float32)
@@ -166,13 +165,6 @@ def _cdft_matmul(re: jnp.ndarray, im: jnp.ndarray, n: int, sign: int):
     return cr, ci
 
 
-def _pad_trunc_last(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    if x.shape[-1] < n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-        return jnp.pad(x, pad)
-    return x[..., :n]
-
-
 def fft(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Full complex FFT along the last axis (matmul Cooley-Tukey on TPU)."""
     if n is None:
@@ -212,11 +204,7 @@ def rfft_magsq(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     if _use_native():
         s = jnp.fft.rfft(x, n=n, axis=-1)
         return jnp.real(s) ** 2 + jnp.imag(s) ** 2
-    if x.shape[-1] < n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-        x = jnp.pad(x, pad)
-    elif x.shape[-1] > n:
-        x = x[..., :n]
+    x = _pad_trunc_last(x, n)
     C, S = _rdft_mats(n)
     xr = x.astype(jnp.float32)
     re = jnp.dot(xr, jnp.asarray(C), preferred_element_type=jnp.float32)

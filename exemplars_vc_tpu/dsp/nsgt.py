@@ -56,9 +56,22 @@ def nsgt_frequencies(sr: int, fmin: float, bins_per_octave: int = 12) -> np.ndar
     return f[f < sr / 2]
 
 
+def _is_smooth(n: int) -> bool:
+    for p in (2, 3, 5, 7):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
 @lru_cache(maxsize=8)
 def _plan(sr: int, Ls: int, fmin: float, bins_per_octave: int) -> NSGTPlan:
-    L = int(-(-Ls // 256) * 256)  # pad to a lane multiple (always composite)
+    # pad to 256×(7-smooth): keeps every Cooley-Tukey factor of the length-L
+    # FFT (and of every divisor M) small, so the matmul FFT never falls back
+    # to a dense prime-length DFT matrix
+    m = -(-Ls // 256)
+    while not _is_smooth(m):
+        m += 1
+    L = 256 * m
     fpos = nsgt_frequencies(sr, fmin, bins_per_octave)
     n_pos = len(fpos)
     if n_pos < 2:
@@ -124,6 +137,8 @@ def nsgt(
     ``nsgt_plan(sr, T, fmin, bins_per_octave).M``). Band order: DC, positive
     log bands, Nyquist, mirrored negative bands (``plan.freqs``).
     """
+    if jnp.iscomplexobj(x):
+        raise ValueError("nsgt expects a real signal (got complex input)")
     p = _plan(sr, x.shape[-1], float(fmin), bins_per_octave)
     X = F.fft(x.astype(jnp.float32), n=p.L)
     Xr, Xi = jnp.real(X), jnp.imag(X)
@@ -147,6 +162,11 @@ def insgt(
 ) -> jnp.ndarray:
     """Inverse NSGT: coefficients (..., n_bands, M) → real signal (..., length)."""
     p = _plan(sr, int(length), float(fmin), bins_per_octave)
+    if c.shape[-2:] != (p.n_bands, p.M):
+        raise ValueError(
+            f"insgt: coefficients {c.shape[-2:]} do not match the plan for "
+            f"(sr={sr}, length={length}, fmin={fmin}, B={bins_per_octave}) — "
+            f"expected {(p.n_bands, p.M)}")
     Y = F.fft(c)                                         # (..., B, M)
     posm = jnp.broadcast_to(jnp.asarray(p.pos), Y.shape[:-1] + (p.pos.shape[-1],))
     vr = jnp.take_along_axis(jnp.real(Y), posm, -1) * jnp.asarray(p.dual)

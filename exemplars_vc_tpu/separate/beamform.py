@@ -63,6 +63,8 @@ def mvdr_filter(
     R = at[..., :, None] * jnp.conj(at[..., None, :])                # (F,C,C)
     if steer_interf is not None:
         ai = jnp.asarray(steer_interf)
+        if ai.ndim == 2:                       # a single interferer as (F, C)
+            ai = ai[None]
         R = R + jnp.sum(ai[..., :, None] * jnp.conj(ai[..., None, :]), axis=0)
     R = R + diag_load * jnp.eye(C, dtype=R.dtype)
     Ra = jnp.einsum("fij,fj->fi", _inv_hermitian(R), at)
@@ -75,7 +77,6 @@ def directivity_diagram(
     freqs: jnp.ndarray,
     thetas: jnp.ndarray | None = None,
     n_thetas: int = 181,
-    n_sensors: int | None = None,
     dist_inter_sensor: float = 0.15,
     sound_speed: float = SOUND_SPEED,
     floor_db: float = -80.0,
@@ -89,8 +90,7 @@ def directivity_diagram(
     w = jnp.asarray(w_filter)                                        # (F, C)
     if thetas is None:
         thetas = jnp.linspace(-np.pi / 2, np.pi / 2, n_thetas)
-    C = w.shape[-1] if n_sensors is None else n_sensors
-    a = ula_steering(thetas, freqs, C, dist_inter_sensor, sound_speed)
+    a = ula_steering(thetas, freqs, w.shape[-1], dist_inter_sensor, sound_speed)
     resp = jnp.einsum("fc,tfc->tf", jnp.conj(w), a)
     p = jnp.real(resp) ** 2 + jnp.imag(resp) ** 2
     return thetas, jnp.maximum(10.0 * jnp.log10(jnp.maximum(p, 0.0) + 1e-30),

@@ -71,3 +71,11 @@ def test_apply_beamformer_recovers_target_from_mixture():
     # unresolvable lowest frequencies
     err = np.linalg.norm(y[8:] - s[8:]) / np.linalg.norm(s[8:])
     assert err < 0.05
+
+
+def test_mvdr_accepts_single_interferer_as_2d():
+    at = ula_steering(jnp.asarray([0.3]), jnp.asarray(FREQS))[0]
+    ai3 = ula_steering(jnp.asarray([-0.7]), jnp.asarray(FREQS))
+    w2 = mvdr_filter(at, ai3[0], diag_load=1e-6)   # (F, C) single interferer
+    w3 = mvdr_filter(at, ai3, diag_load=1e-6)      # documented (1, F, C)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w3), atol=1e-6)

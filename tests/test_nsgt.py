@@ -105,3 +105,29 @@ def test_constant_q_band_supports_scale_with_frequency():
     lens = (p.win > 0).sum(axis=1)[1 : p.n_pos + 1]
     # supports grow roughly geometrically with center frequency (constant Q)
     assert lens[-1] > 4 * lens[0]
+
+
+def test_insgt_rejects_mismatched_coefficients():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(3000).astype(np.float32)
+    c = nsgt(jnp.asarray(x), sr=16000, fmin=100.0)
+    with pytest.raises(ValueError, match="do not match the plan"):
+        insgt(c[..., : c.shape[-1] // 2], 3000, sr=16000, fmin=100.0)
+    with pytest.raises(ValueError, match="do not match the plan"):
+        insgt(c, 3000, sr=16000, fmin=200.0)  # different plan
+
+
+def test_nsgt_rejects_complex_input():
+    z = jnp.ones(1000, jnp.complex64)
+    with pytest.raises(ValueError, match="real signal"):
+        nsgt(z)
+
+
+def test_plan_length_is_smooth():
+    # 256·8209 would be a prime multiplier → plan must bump to a 7-smooth one
+    p = nsgt_plan(16000, 256 * 8209, fmin=100.0)
+    m = p.L // 256
+    for q in (2, 3, 5, 7):
+        while m % q == 0:
+            m //= q
+    assert m == 1 and p.L >= 256 * 8209 and p.L % p.M == 0
