@@ -101,6 +101,11 @@ class NmfConfig:
     # "cd"/"nnls" | "qr"
     solver: str = "auto"
     griffin_lim_iters: int = 300    # reference 04_align_n_nmf.py:187
+    # Griffin-Lim phase seed: "source" starts from the input utterance's own
+    # phase (same frame grid as the converted magnitude — real group delay /
+    # harmonic phase structure, measurably closer fixed point); "random"
+    # reproduces the reference's white-noise init (zz_audio_utilities.py:281)
+    gl_init: str = "source"
     # "correct": multiplicative residual log r = log X - log(A·H)  (default)
     # "reference": r = log(A·H - X) with NaN->0, reproduced from
     #   04_align_n_nmf.py:292-299,367-373 (documented quirk, SURVEY §7.3.6)

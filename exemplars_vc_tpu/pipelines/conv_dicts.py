@@ -41,6 +41,20 @@ def extract_stft_features(sig: np.ndarray, cfg: Config) -> jnp.ndarray:
     return jnp.abs(S)[:true_frames]
 
 
+def extract_stft_complex(sig: np.ndarray, cfg: Config) -> jnp.ndarray:
+    """Complex STFT of one utterance on the same frame grid as
+    :func:`extract_stft_features` — DEVICE-resident (this backend cannot
+    transfer complex64 to host; consumers like the Griffin-Lim source-phase
+    seed use it on device only)."""
+    from exemplars_vc_tpu.io.store import bucketed_signal
+
+    m = cfg.mcep
+    padded, true_frames = bucketed_signal(sig, m.hop_length, cfg.data.frame_bucket)
+    S = stft(padded.astype(np.float32), n_fft=m.frame_length,
+             hop_length=m.hop_length, window=m.window)
+    return S[:true_frames]
+
+
 from functools import lru_cache
 
 

@@ -164,11 +164,22 @@ def convert_utterance(
         # the reference only applies residual compensation on the WORLD path
         use_residual = kind == "world"
 
+    src_phase = None
     with Timer("features") as t:
         if kind == "stft":
-            from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
+            from exemplars_vc_tpu.pipelines.conv_dicts import (
+                extract_stft_complex,
+                extract_stft_features,
+            )
 
-            feats_in = {"stft": extract_stft_features(x, cfg)}
+            if cfg.nmf.gl_init == "source":
+                # one STFT: magnitude feeds the solver, the phase (device-
+                # resident; complex64 never visits the host) seeds Griffin-Lim
+                S_in = extract_stft_complex(x, cfg)
+                src_phase = S_in
+                feats_in = {"stft": jnp.abs(S_in)}
+            else:
+                feats_in = {"stft": extract_stft_features(x, cfg)}
         else:
             from exemplars_vc_tpu.pipelines.conv_dicts import extract_world_features
 
@@ -200,7 +211,7 @@ def convert_utterance(
             iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
             audio_dev = griffin_lim(converted_dev["stft"], n_fft=m.frame_length,
                                     hop_length=m.hop_length, n_iter=iters,
-                                    length=len(x))
+                                    length=len(x), init_phase=src_phase)
         else:
             from exemplars_vc_tpu.world import synthesize
 
