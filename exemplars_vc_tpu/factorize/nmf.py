@@ -103,8 +103,21 @@ def nmf_activations(
     X = X.astype(dtype)
     A = A.astype(dtype)
 
+    # H0 average uses the TRUE feature count (computed before lane padding)
     avg = jnp.sqrt(jnp.maximum(X.mean(), 0.0) / K)
     H0 = jnp.full((F, K), avg, dtype=dtype)
+
+    # Lane-pad the feature axis to a multiple of 128 (the TPU lane width).
+    # Zero columns are exactly inert in every quantity below — numerator
+    # X·Aᵀ, denominator (H·A)·Aᵀ, KL ratio (0/eps·Aᵀ), row sums, and the
+    # Frobenius error (0 − 0 residual) — so H and the reported error are
+    # exact (identical up to float summation order) while the matmuls run on
+    # full lanes (measured ~8% faster per MU iteration at the production
+    # D=201 → 256, BENCHMARKS.md).
+    if D % 128:
+        pad = 128 * ((D + 127) // 128) - D
+        X = jnp.pad(X, ((0, 0), (0, pad)))
+        A = jnp.pad(A, ((0, 0), (0, pad)))
 
     if beta_loss == "frobenius":
         # accumulate the loop-invariant numerator in f32 even in bf16 mode

@@ -52,12 +52,13 @@ class StreamingConverter:
         self.context_frames = context_frames
         self.synth_iters = synth_iters
         self._context_mag: np.ndarray | None = None   # converted left context
+        self._context_phase: jnp.ndarray | None = None  # converged phase seed
 
     def _convert_block(self, X: np.ndarray) -> np.ndarray:
         st = _solve_activations(jnp.asarray(X, jnp.float32), self.A, self.cfg)
         return np.asarray(convert_features(st.H, self.B))
 
-    def _synthesize(self, mag_new: np.ndarray) -> np.ndarray:
+    def _synthesize(self, mag_new: np.ndarray, phase_new=None) -> np.ndarray:
         m = self.cfg.mcep
         hop = m.hop_length
         if self._context_mag is None:
@@ -66,23 +67,44 @@ class StreamingConverter:
         else:
             full = np.concatenate([self._context_mag, mag_new], axis=0)
             skip = self._context_mag.shape[0]
-        y = np.asarray(griffin_lim(
+        init_phase = None
+        if phase_new is not None:
+            # seed GL with the incoming chunk's own phase (see dsp.griffin_lim:
+            # real speech phase converges far closer at a small iteration
+            # budget — exactly the low-latency regime streaming lives in);
+            # context frames reuse the previous chunk's converged phase
+            ph = jnp.asarray(phase_new)
+            if skip:
+                ctx_ph = (self._context_phase if self._context_phase is not None
+                          else jnp.ones((skip, ph.shape[1]), jnp.complex64))
+                ph = jnp.concatenate([ctx_ph, ph], axis=0)
+            init_phase = ph
+        y_full = griffin_lim(
             jnp.asarray(full, jnp.float32), n_fft=m.frame_length,
             hop_length=hop, n_iter=self.synth_iters,
-            length=full.shape[0] * hop,
-        ))
+            length=full.shape[0] * hop, init_phase=init_phase,
+        )
+        y = np.asarray(y_full)
         ctx = self.context_frames
         if ctx <= 0:
             self._context_mag = None
+            self._context_phase = None
         else:
             self._context_mag = full[-ctx:] if full.shape[0] >= ctx else full
+            if init_phase is not None:
+                self._context_phase = init_phase[-self._context_mag.shape[0]:]
         # emit only the samples belonging to the new frames
         return y[skip * hop : (skip + mag_new.shape[0]) * hop]
 
-    def push(self, mag_chunk: np.ndarray) -> np.ndarray:
-        """(F_c, n_bins) converted → audio samples for those frames."""
+    def push(self, mag_chunk: np.ndarray, phase_chunk=None) -> np.ndarray:
+        """(F_c, n_bins) converted → audio samples for those frames.
+
+        ``phase_chunk``: optional complex STFT (or unit-phase) of the SOURCE
+        chunk on the same frame grid — seeds Griffin-Lim with real speech
+        phase instead of white noise (keep it a device array; this backend
+        cannot move complex64 to host)."""
         converted = self._convert_block(mag_chunk)
-        return self._synthesize(converted)
+        return self._synthesize(converted, phase_chunk)
 
     def flush(self) -> np.ndarray:
         """Nothing is buffered beyond context; provided for API symmetry."""

@@ -154,6 +154,26 @@ def test_nnls_close_to_scipy():
     assert (H >= 0).all()
 
 
+def test_lane_padding_is_inert():
+    """The internal feature-axis lane padding (D → multiple of 128) must not
+    change the solve. Oracle: the plain MU recurrence in float64 numpy on the
+    UNPADDED problem, from the same H0 (whose average must use the true D —
+    padding before the mean would dilute the init)."""
+    X, A = _problem(F=24, K=48, D=25, seed=4, dtype=np.float32)
+    K = A.shape[0]
+    H = np.full((X.shape[0], K), np.sqrt(X.mean() / K), dtype=np.float64)
+    X64, A64 = X.astype(np.float64), A.astype(np.float64)
+    eps = np.finfo(np.float64).eps
+    num = X64 @ A64.T
+    for _ in range(60):
+        den = (H @ A64) @ A64.T
+        H = H * num / np.where(den == 0.0, eps, den)
+    st = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0.0, max_iter=60)
+    np.testing.assert_allclose(np.asarray(st.H), H, rtol=1e-3, atol=1e-6)
+    err = np.linalg.norm(X64 - H @ A64)
+    np.testing.assert_allclose(float(st.error), err, rtol=1e-4)
+
+
 def test_bf16_work_dtype_close_to_f32():
     import jax.numpy as jnp2
 
