@@ -73,14 +73,25 @@ class Converter:
                 )
                 for p in wav_paths
             ]
-        from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
+        from exemplars_vc_tpu.pipelines.conv_dicts import (
+            extract_stft_complex,
+            extract_stft_features,
+        )
 
         cfg = self.cfg
-        sigs, mags = [], []
+        use_src_phase = cfg.nmf.gl_init == "source"
+        sigs, mags, phases = [], [], []
         for p in wav_paths:
             x, sr = read_wav(p)
             sigs.append((x, sr))
-            mags.append(extract_stft_features(x, cfg))
+            if use_src_phase:
+                # one STFT per utterance: |S| feeds the solver, S seeds GL
+                S = extract_stft_complex(x, cfg)
+                phases.append(S)
+                mags.append(jnp.abs(S))
+            else:
+                phases.append(None)
+                mags.append(extract_stft_features(x, cfg))
         splits = np.cumsum([m.shape[0] for m in mags])[:-1]
         X_all = jnp.concatenate([jnp.asarray(m, jnp.float32) for m in mags], axis=0)
         with Timer("batch-convert") as t:
@@ -92,11 +103,12 @@ class Converter:
         per_utt = np.split(Y_all, splits, axis=0)
         iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
         solve_share = t.elapsed / len(wav_paths)   # amortized solve cost
-        for (x, sr), Y, p in zip(sigs, per_utt, wav_paths):
+        for (x, sr), Y, p, ph in zip(sigs, per_utt, wav_paths, phases):
             with Timer("synth") as ts:
                 audio = np.asarray(griffin_lim(
                     jnp.asarray(Y), n_fft=cfg.mcep.frame_length,
                     hop_length=cfg.mcep.hop_length, n_iter=iters, length=len(x),
+                    init_phase=ph,
                 ))
             if out_dir is not None:
                 write_wav(_os.path.join(out_dir, _os.path.basename(p)), audio, sr)
@@ -109,11 +121,19 @@ class Converter:
                 synth_iters: int | None = None) -> Converted:
         cfg = self.cfg
         x, sr = read_wav(wav_path)
+        src_phase = None
         with Timer("convert") as t:
             if self.kind == "stft":
-                from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
+                from exemplars_vc_tpu.pipelines.conv_dicts import (
+                    extract_stft_complex,
+                    extract_stft_features,
+                )
 
-                feats_in = {"stft": extract_stft_features(x, cfg)}
+                if cfg.nmf.gl_init == "source":
+                    src_phase = extract_stft_complex(x, cfg)
+                    feats_in = {"stft": jnp.abs(src_phase)}
+                else:
+                    feats_in = {"stft": extract_stft_features(x, cfg)}
             else:
                 from exemplars_vc_tpu.pipelines.conv_dicts import extract_world_features
 
@@ -135,6 +155,7 @@ class Converter:
                 audio_dev = griffin_lim(
                     converted["stft"], n_fft=cfg.mcep.frame_length,
                     hop_length=cfg.mcep.hop_length, n_iter=n_iter, length=len(x),
+                    init_phase=src_phase,
                 )
             else:
                 from exemplars_vc_tpu.world import synthesize
