@@ -19,7 +19,9 @@ from exemplars_vc_tpu.dsp.stft import istft, stft
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "n_iter", "length", "momentum"),
+    static_argnames=(
+        "n_fft", "hop_length", "n_iter", "length", "momentum", "return_phase"
+    ),
 )
 def griffin_lim(
     magnitude: jnp.ndarray,
@@ -30,6 +32,7 @@ def griffin_lim(
     momentum: float = 0.9,
     key: jax.Array | None = None,
     init_phase: jnp.ndarray | None = None,
+    return_phase: bool = False,
 ) -> jnp.ndarray:
     """(n_frames, n_bins) magnitude → time signal.
 
@@ -46,11 +49,21 @@ def griffin_lim(
     speech phase (correct group delay, harmonic phase coherence) converges
     far closer to a consistent spectrogram than white-noise phase at the same
     iteration budget (see tests/test_dsp.py).
+
+    ``return_phase``: also return the final unit-phase complex array (same
+    shape as ``magnitude``) so callers (e.g. streaming overlap-save) can seed
+    the next chunk with the *converged* phase rather than the initial seed.
     """
     mag = jnp.maximum(magnitude, 0.0).astype(jnp.float32)
     if init_phase is not None:
         ip = init_phase[: mag.shape[0]].astype(jnp.complex64)
-        angles = ip / jnp.maximum(jnp.abs(ip), 1e-16)
+        # exactly-zero seed bins (digital silence, zero-mean DC) get unit
+        # phase so the first iterate is magnitude-consistent everywhere
+        angles = jnp.where(
+            jnp.abs(ip) > 0.0,
+            ip / jnp.maximum(jnp.abs(ip), 1e-16),
+            jnp.complex64(1.0),
+        )
     else:
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -75,4 +88,7 @@ def griffin_lim(
     angles, _ = jax.lax.fori_loop(
         0, n_iter, body, (angles, jnp.zeros_like(angles))
     )
-    return istft(mag * angles, n_fft=n_fft, hop_length=hop_length, length=length)
+    y = istft(mag * angles, n_fft=n_fft, hop_length=hop_length, length=length)
+    if return_phase:
+        return y, angles
+    return y

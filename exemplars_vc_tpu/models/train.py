@@ -54,6 +54,20 @@ def train_test_split(n: int, test_size: float = 0.2, seed: int = 10):
     return perm[n_test:], perm[:n_test]
 
 
+def reference_rmsprop(learning_rate: float, weight_decay: float):
+    """RMSprop with the reference's exact torch semantics
+    (``02_freq_warping_neural.py:150``: ``optim.RMSprop(lr=5e-3,
+    weight_decay=1e-4)``, torch defaults alpha=0.99, eps=1e-8): coupled L2
+    (wd·p added to the gradient BEFORE the squared-average update), running
+    average decay 0.99, and eps added OUTSIDE the sqrt. One-step trajectory
+    parity vs torch is asserted in tests/test_torch_golden.py."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.rmsprop(learning_rate=learning_rate, decay=0.99,
+                      eps=1e-8, eps_in_sqrt=False),
+    )
+
+
 @partial(jax.jit, static_argnames=("optimizer",))
 def _update(params, opt_state, x, y, mask, optimizer):
     def loss_fn(p):
@@ -130,11 +144,7 @@ def train_warping_net(
     )
     params = init_warping_params(jax.random.PRNGKey(seed), net_cfg)
 
-    # torch RMSprop + weight_decay ~ optax rmsprop with decoupled L2-in-grad
-    optimizer = optax.chain(
-        optax.add_decayed_weights(cfg.net.weight_decay),
-        optax.rmsprop(learning_rate=cfg.net.learning_rate),
-    )
+    optimizer = reference_rmsprop(cfg.net.learning_rate, cfg.net.weight_decay)
     opt_state = optimizer.init(params)
 
     # Standardize features with masked training-set statistics (the reference

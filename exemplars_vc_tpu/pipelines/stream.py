@@ -72,17 +72,22 @@ class StreamingConverter:
             # seed GL with the incoming chunk's own phase (see dsp.griffin_lim:
             # real speech phase converges far closer at a small iteration
             # budget — exactly the low-latency regime streaming lives in);
-            # context frames reuse the previous chunk's converged phase
+            # context frames reuse the previous chunk's CONVERGED phase
+            # (returned by griffin_lim below), falling back to unit phase
             ph = jnp.asarray(phase_new)
             if skip:
-                ctx_ph = (self._context_phase if self._context_phase is not None
-                          else jnp.ones((skip, ph.shape[1]), jnp.complex64))
+                ctx_ph = self._context_phase
+                if ctx_ph is None or ctx_ph.shape[0] != skip:
+                    # context length changed since the phase was stored (it
+                    # grows over the first pushes / an unseeded push reset it)
+                    ctx_ph = jnp.ones((skip, ph.shape[1]), jnp.complex64)
                 ph = jnp.concatenate([ctx_ph, ph], axis=0)
             init_phase = ph
-        y_full = griffin_lim(
+        y_full, final_phase = griffin_lim(
             jnp.asarray(full, jnp.float32), n_fft=m.frame_length,
             hop_length=hop, n_iter=self.synth_iters,
             length=full.shape[0] * hop, init_phase=init_phase,
+            return_phase=True,
         )
         y = np.asarray(y_full)
         ctx = self.context_frames
@@ -92,7 +97,11 @@ class StreamingConverter:
         else:
             self._context_mag = full[-ctx:] if full.shape[0] >= ctx else full
             if init_phase is not None:
-                self._context_phase = init_phase[-self._context_mag.shape[0]:]
+                self._context_phase = final_phase[-self._context_mag.shape[0]:]
+            else:
+                # mag context updated without a matching phase: a stale seed
+                # would misalign (or shape-clash) with the new context frames
+                self._context_phase = None
         # emit only the samples belonging to the new frames
         return y[skip * hop : (skip + mag_new.shape[0]) * hop]
 
