@@ -207,7 +207,10 @@ def load_config(path: str | None = None, overrides: list[str] | None = None) -> 
     cfg = Config()
     sections = {f.name: dataclasses.asdict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
 
-    if path is not None and os.path.isfile(path):
+    if path is not None and not os.path.isfile(path):
+        # a typo'd --config silently falling back to defaults is a footgun
+        raise FileNotFoundError(f"config file not found: {path!r}")
+    if path is not None:
         parser = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
         parser.read(path)
         for sec in parser.sections():

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from exemplars_vc_tpu.dsp import fft as _fft
 
-from exemplars_vc_tpu.world.cheaptrick import _windowed_segments
+from exemplars_vc_tpu.world.cheaptrick import _windowed_waveform_batch
 
 AP_FLOOR = 0.001
 AP_CEIL = 0.999999
@@ -41,7 +41,10 @@ def d4c_aperiodicity(
     f0_safe = jnp.where(f0 > 0, f0, 150.0)
     # clamp so the 8-period window fits the internal buffer
     f0_win = jnp.maximum(f0_safe, _PERIODS * sr / internal_fft)
-    seg = _windowed_segments(x, centers, f0_win, sr, internal_fft, periods=_PERIODS)
+    seg = _windowed_waveform_batch(
+        x.astype(jnp.float32), centers, f0_win, sr, internal_fft,
+        periods=_PERIODS, bias_removal=False,
+    )
     power = _fft.rfft_magsq(seg, n=internal_fft)   # (F, Bi)
     Bi = power.shape[-1]
     bin_hz = sr / internal_fft

@@ -31,11 +31,7 @@ def blackman_exact(n: int) -> np.ndarray:
             + 0.08 * np.cos(4 * np.pi * m / (n - 1)))
 
 
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+def make_mcep_goldens() -> None:
     from exemplars_vc_tpu.io import read_wav
     from tests.oracles.sptk_mcep import mcep_frames_oracle
 
@@ -56,10 +52,61 @@ def main() -> None:
             out[f"{key}_mcep"] = c
             print(f"{key}: {len(idx)} frames, c0 range "
                   f"[{c[:, 0].min():.2f}, {c[:, 0].max():.2f}]")
-    os.makedirs(OUT_DIR, exist_ok=True)
     path = os.path.join(OUT_DIR, "mcep_sptk_oracle.npz")
     np.savez_compressed(path, **out)
     print("wrote", path, os.path.getsize(path), "bytes")
+
+
+# WORLD golden parameters: 5 ms frames, fft 1024 (= WORLD's default for
+# fs=16k, f0_floor=71), frames subsampled so the files stay small.
+W_HOP_MS, W_FFT, W_STRIDE = 5.0, 1024, 29
+WORLD_UTTS = (("SF1", "100001"), ("SF1", "100005"),
+              ("TF1", "100002"), ("TF1", "100008"))
+
+
+def make_world_goldens() -> None:
+    """CheapTrick envelopes from the float64 oracle, on a COMMITTED f0
+    contour (the repo's estimator output, stored alongside, so the golden is
+    a pure function of the committed inputs — f0 estimation parity is tested
+    separately)."""
+    import jax.numpy as jnp
+
+    from exemplars_vc_tpu.io import read_wav
+    from exemplars_vc_tpu.world.f0 import estimate_f0, refine_f0_stonemask
+    from tests.oracles.world_cheaptrick import cheaptrick_oracle
+
+    out: dict[str, np.ndarray] = {}
+    for spk, name in WORLD_UTTS:
+        x, sr = read_wav(os.path.join(REF_DATA, spk, name + ".wav"))
+        xj = jnp.asarray(x, jnp.float32)
+        f0, _ = estimate_f0(xj, sr=sr, frame_period_ms=W_HOP_MS)
+        f0 = np.asarray(
+            refine_f0_stonemask(xj, f0, sr=sr, frame_period_ms=W_HOP_MS)
+        ).astype(np.float64)
+        hop = int(round(sr * W_HOP_MS / 1000.0))
+        sel = np.arange(0, len(f0), W_STRIDE)
+        env = cheaptrick_oracle(
+            np.asarray(x, np.float64), sr, f0[sel], sel * hop / sr,
+            fft_size=W_FFT,
+        )
+        key = f"{spk}_{name}"
+        out[f"{key}_f0"] = f0
+        out[f"{key}_sel"] = sel.astype(np.int32)
+        out[f"{key}_sp"] = env.astype(np.float32)  # compared at ~0.1 dB
+        print(f"{key}: {len(sel)} frames, voiced {(f0 > 0).sum()}/{len(f0)}")
+    path = os.path.join(OUT_DIR, "world_cheaptrick_oracle.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", path, os.path.getsize(path), "bytes")
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    make_mcep_goldens()
+    make_world_goldens()
 
 
 if __name__ == "__main__":
