@@ -128,13 +128,32 @@ def main():
     shutil.rmtree(tmp1, ignore_errors=True)
     log(f"cold run (incl. compile): {cold:.2f} s")
 
-    # ---- run 2: steady state ----------------------------------------------
-    tmp2 = tempfile.mkdtemp(prefix="evc_bench2_")
-    t0 = time.time()
-    res = run_pipeline(cfg, ArtifactStore(tmp2), wav_path)
-    hot = time.time() - t0
-    shutil.rmtree(tmp2, ignore_errors=True)
-    log(f"steady-state run: {hot:.2f} s  stage timings: {res.timings}")
+    # ---- runs 2..N: steady state, median-of-N ------------------------------
+    # the shared TPU tunnel has real run-to-run variance (BENCHMARKS.md
+    # records 0.40-4.4 s spreads); a single sample under-/over-states the
+    # framework, so the recorded number is the MEDIAN of n_hot runs with
+    # per-stage p50/p90 alongside.
+    n_hot = int(os.environ.get("EVC_BENCH_RUNS", "3"))
+    hots, stage_samples = [], []
+    for k in range(n_hot):
+        tmp2 = tempfile.mkdtemp(prefix=f"evc_bench2_{k}_")
+        t0 = time.time()
+        res = run_pipeline(cfg, ArtifactStore(tmp2), wav_path)
+        hots.append(time.time() - t0)
+        stage_samples.append(res.timings)
+        shutil.rmtree(tmp2, ignore_errors=True)
+        log(f"steady-state run {k + 1}/{n_hot}: {hots[-1]:.2f} s  "
+            f"stage timings: {res.timings}")
+
+    hots_sorted = sorted(hots)
+    hot = hots_sorted[len(hots_sorted) // 2]  # median
+    stages = {}
+    for name in stage_samples[0]:
+        vals = sorted(s[name] for s in stage_samples)
+        stages[name] = {
+            "p50": round(vals[len(vals) // 2], 3),
+            "p90": round(vals[min(len(vals) - 1, int(0.9 * len(vals)))], 3),
+        }
 
     rate = total_audio / hot
     print(json.dumps({
@@ -143,10 +162,11 @@ def main():
         "unit": "audio_s/s",
         "vs_baseline": round(rate / REF_RATE_AUDIO_S_PER_S, 3),
         "detail": {
-            "steady_state_s": round(hot, 3),
+            "steady_state_s_median": round(hot, 3),
+            "steady_state_s_all": [round(h, 3) for h in hots],
             "cold_s": round(cold, 3),
             "audio_s": round(total_audio, 2),
-            "stages_s": {k: round(v, 3) for k, v in res.timings.items()},
+            "stages_s": stages,
             "platform": jax.devices()[0].platform,
             "total_wall_s": round(time.time() - t_start, 1),
         },

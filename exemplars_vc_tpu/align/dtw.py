@@ -71,23 +71,45 @@ def _skew(C: jnp.ndarray) -> jnp.ndarray:
     return skewed.T  # (n_diag, Ta)
 
 
+_DIAG_BLOCK = 128   # wavefront steps per outer-loop iteration
+
+
 def _dtw_cost_dirs(C: jnp.ndarray, len_a, len_b):
     """Wavefront DP. Returns (final cost D[len_a-1,len_b-1], dirs skewed).
 
     dirs codes: 0 = diag (i−1, j−1), 1 = up (i−1, j), 2 = left (i, j−1).
+
+    Blocked sweep: an outer ``lax.while_loop`` whose trip bound is TRACED
+    (ceil((len_a+len_b−1)/128) blocks) runs 128 statically-unrolled wavefront
+    steps per iteration, reading one (128, Ta) slice of the skewed costs and
+    writing one (128, Ta) block of direction codes. Why this exact shape:
+
+    - a flat 1800-step ``lax.scan`` cost ~225 s of cold compile through this
+      environment's remote-compile tunnel (BENCH_r01 — compile time scaled
+      with the trip count), and a flat 1800-step ``while_loop`` fixed nothing
+      and ran 10× slower steady-state (per-iteration loop overhead on tiny
+      vector work);
+    - the traced bound means XLA cannot unroll the outer loop (the compiled
+      program stays ~128 steps of vector ops regardless of utterance
+      length), and short pairs in a large padding bucket exit after their
+      true diagonal count;
+    - 128 unrolled steps amortize the loop overhead that made the flat
+      while_loop slow.
     """
     ta, tb = C.shape
     n_diag = ta + tb - 1
+    W = _DIAG_BLOCK
+    n_blocks_max = (n_diag + W - 1) // W
     i_idx = jnp.arange(ta)
 
     # mask padded region beyond true lengths
     valid_ij = (i_idx[:, None] < len_a) & (jnp.arange(tb)[None, :] < len_b)
     C = jnp.where(valid_ij, C, BIG)
     sk = _skew(C)  # (n_diag, ta)
+    sk = jnp.pad(sk, ((0, n_blocks_max * W - n_diag), (0, 0)),
+                 constant_values=BIG)
 
-    def step(carry, dc):
-        prev, prev2 = carry            # D over diagonals d−1, d−2, laid out by i
-        sk_d, d = dc
+    def step(d, sk_d, prev, prev2):
         j = d - i_idx                  # column index at wavefront position i
         on_diag = (j >= 0) & (i_idx < ta)
 
@@ -107,15 +129,43 @@ def _dtw_cost_dirs(C: jnp.ndarray, len_a, len_b):
 
         new = jnp.where(on_diag, sk_d + jnp.minimum(best, BIG), BIG)
         new = jnp.minimum(new, BIG)
-        return (new, prev), (new, choice)
+        return new, choice
 
-    init = (jnp.full((ta,), BIG), jnp.full((ta,), BIG))
-    (_, _), (costs, dirs) = jax.lax.scan(
-        step, init, (sk, jnp.arange(n_diag))
+    n_valid = len_a + len_b - 1        # traced: true diagonal count
+    n_blocks = (n_valid + W - 1) // W
+
+    def cond(state):
+        b, _, _, _, _ = state
+        return b < n_blocks
+
+    def body(state):
+        b, prev, prev2, dirs, final = state
+        d0 = b * W
+        sk_blk = jax.lax.dynamic_slice_in_dim(sk, d0, W, axis=0)   # (W, Ta)
+
+        def inner(carry, inp):
+            prev, prev2, final = carry
+            k, sk_d = inp
+            new, choice = step(d0 + k, sk_d, prev, prev2)
+            final = jnp.where(d0 + k == n_valid - 1, new[len_a - 1], final)
+            return (new, prev, final), choice
+
+        (prev, prev2, final), choices = jax.lax.scan(
+            inner, (prev, prev2, final), (jnp.arange(W), sk_blk)
+        )
+        dirs = jax.lax.dynamic_update_slice_in_dim(dirs, choices, d0, axis=0)
+        return b + 1, prev, prev2, dirs, final
+
+    dirs0 = jnp.zeros((n_blocks_max * W, ta), dtype=jnp.int8)
+    state = (
+        jnp.int32(0),
+        jnp.full((ta,), BIG),
+        jnp.full((ta,), BIG),
+        dirs0,
+        jnp.float32(BIG),
     )
-    end_d = len_a + len_b - 2
-    final = costs[end_d, len_a - 1]
-    return final, dirs
+    _, _, _, dirs, final = jax.lax.while_loop(cond, body, state)
+    return final, dirs[:n_diag]
 
 
 def _backtrace(dirs: jnp.ndarray, len_a, len_b, max_path: int):
@@ -124,24 +174,50 @@ def _backtrace(dirs: jnp.ndarray, len_a, len_b, max_path: int):
     Emits the path end-to-start; the caller-visible arrays are reversed to
     ascending order and padded with −1."""
 
-    def step(carry, _):
-        i, j, done = carry
-        d = i + j
-        code = dirs[d, i]
-        ni = jnp.where(code == 2, i, i - 1)       # left keeps i
-        nj = jnp.where(code == 1, j, j - 1)       # up keeps j
-        at_origin = (i == 0) & (j == 0)
-        out = (jnp.where(done, -1, i), jnp.where(done, -1, j))
-        ni = jnp.where(at_origin | done, i, ni)
-        nj = jnp.where(at_origin | done, j, nj)
-        return (ni, nj, done | at_origin), out
+    # Blocked walk, same shape as _dtw_cost_dirs' sweep: an outer while_loop
+    # with a traced stopping condition (cannot be unrolled; exits at the
+    # origin instead of idling through max_path steps) running 128
+    # statically-unrolled backtrace steps per iteration, with one
+    # batch-uniform block write of the emitted indices.
+    W = _DIAG_BLOCK
+    n_blocks_max = (max_path + W - 1) // W
 
-    (_, _, _), (rev_i, rev_j) = jax.lax.scan(
-        step,
-        (len_a - 1, len_b - 1, jnp.bool_(False)),
-        None,
-        length=max_path,
+    def cond(state):
+        b, _, _, done, _, _ = state
+        return (~done) & (b < n_blocks_max)
+
+    def body(state):
+        b, i, j, done, rev_i, rev_j = state
+
+        def inner(carry, _):
+            i, j, done = carry
+            out = (jnp.where(done, -1, i), jnp.where(done, -1, j))
+            d = i + j
+            code = dirs[d, i]
+            at_origin = (i == 0) & (j == 0)
+            ni = jnp.where(code == 2, i, i - 1)   # left keeps i
+            nj = jnp.where(code == 1, j, j - 1)   # up keeps j
+            i = jnp.where(at_origin | done, i, ni)
+            j = jnp.where(at_origin | done, j, nj)
+            return (i, j, done | at_origin), out
+
+        (i, j, done), (outs_i, outs_j) = jax.lax.scan(
+            inner, (i, j, done), None, length=W
+        )
+        rev_i = jax.lax.dynamic_update_slice_in_dim(rev_i, outs_i, b * W, axis=0)
+        rev_j = jax.lax.dynamic_update_slice_in_dim(rev_j, outs_j, b * W, axis=0)
+        return b + 1, i, j, done, rev_i, rev_j
+
+    state = (
+        jnp.int32(0),
+        jnp.asarray(len_a - 1, jnp.int32),
+        jnp.asarray(len_b - 1, jnp.int32),
+        jnp.bool_(False),
+        jnp.full((n_blocks_max * W,), -1, jnp.int32),
+        jnp.full((n_blocks_max * W,), -1, jnp.int32),
     )
+    _, _, _, _, rev_i, rev_j = jax.lax.while_loop(cond, body, state)
+    rev_i, rev_j = rev_i[:max_path], rev_j[:max_path]
     path_len = jnp.sum(rev_i >= 0).astype(jnp.int32)
     # reverse the valid prefix into ascending order: position k of the output
     # takes reversed element path_len−1−k
