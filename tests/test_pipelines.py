@@ -66,10 +66,21 @@ def test_convert_utterance_stft(cfg, store, tmp_path):
     # converted magnitude is non-negative and finite
     Y = res.converted["stft"]
     assert (Y >= -1e-5).all() and np.isfinite(Y).all()
-    # conversion quality guard: DTW-aligned MCD vs the true target utterance
-    # (4.06 dB measured; float16 feature storage must not degrade it)
+    # conversion quality guard: DTW-aligned MCD vs the true target utterance.
+    # Gated BOTH absolutely (≤4.5 dB) and against the committed snapshot
+    # (golden + 0.3 dB, VERDICT r1 item 4) so perf work can't silently
+    # degrade output.
     assert res.mcd_vs_reference is not None
-    assert res.mcd_vs_reference < 6.0, res.mcd_vs_reference
+    gold = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                "convert_snapshot.npz"))
+    assert res.mcd_vs_reference < 4.5, res.mcd_vs_reference
+    assert res.mcd_vs_reference <= float(gold["stft_mcd"]) + 0.3
+    # spectral-snapshot regression on the converted magnitude
+    snap = Y[::16, ::4].astype(np.float32)
+    ref_snap = gold["stft_mag"]
+    assert snap.shape == ref_snap.shape
+    dev_db = np.abs(10 * np.log10((snap + 1e-6) / (ref_snap + 1e-6)))
+    assert float(dev_db.mean()) < 0.3, float(dev_db.mean())
 
 
 def test_metrics():
@@ -108,6 +119,7 @@ def test_convert_utterance_world_path(store, tmp_path):
     res = convert_utterance(
         cfg_world, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
         out_path=out, nb_file=2,
+        reference_wav=os.path.join(DATA, "TF1", "100001.wav"),
     )
     assert os.path.isfile(out)
     assert np.isfinite(res.audio).all()
@@ -115,6 +127,19 @@ def test_convert_utterance_world_path(store, tmp_path):
     # converted aperiodicity stays within physical range after (H B) * R
     ap = res.converted["ap"]
     assert np.isfinite(ap).all()
+    # WORLD-path quality gate (was finiteness-only): MCD vs the true target
+    # within 0.3 dB of the committed snapshot, plus an envelope snapshot
+    gold = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                "convert_snapshot.npz"))
+    assert res.mcd_vs_reference is not None
+    assert res.mcd_vs_reference <= float(gold["world_mcd"]) + 0.3, (
+        res.mcd_vs_reference
+    )
+    snap = res.converted["sp"][::16, ::8].astype(np.float32)
+    ref_snap = gold["world_sp"]
+    assert snap.shape == ref_snap.shape
+    dev_db = np.abs(10 * np.log10((snap + 1e-12) / (ref_snap + 1e-12)))
+    assert float(dev_db.mean()) < 0.3, float(dev_db.mean())
 
 
 def test_cli_conv_dicts_and_demo(tmp_path, capsys):
