@@ -50,27 +50,40 @@ def world_fft_size(sr: int, f0_floor: float = 71.0) -> int:
 
 
 def _windowed_waveform_batch(x, centers, f0, sr, max_win, periods=3.0,
-                             bias_removal=True):
+                             bias_removal=True, window="hanning",
+                             normalize_window=True, normalize_wave=False):
     """WORLD GetWindowedWaveform, batched over frames.
 
-    Returns (F, max_win) segments: Hanning of length ``periods``·T0 centered
-    at ``centers`` (samples), edge-clamped gather, window energy-normalized,
-    window-weighted mean removed."""
+    Returns (F, max_win) segments: a ``window`` ("hanning"/"blackman") of
+    length ``periods``·T0 centered at ``centers`` (sample positions, may be
+    fractional), edge-clamped gather (WORLD's safe_index), optional window
+    energy normalization (CheapTrick) or waveform energy normalization
+    (D4C's GetCentroid), window-weighted mean removal."""
     half = jnp.floor((periods / 2.0) * sr / f0 + 0.5)          # matlab_round
     base = jnp.arange(max_win) - max_win // 2                  # (L,)
     inside = jnp.abs(base)[None, :] <= half[:, None]
-    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
+    origin = jnp.floor(centers.astype(jnp.float32) + 0.001 + 0.5).astype(jnp.int32)
+    idx = jnp.clip(origin[:, None] + base[None, :], 0, x.shape[0] - 1)
     seg = x[idx]                                               # (F, L)
     pos = base[None, :] / ((periods / 2.0) * sr)
-    win = (0.5 * jnp.cos(jnp.pi * pos * f0[:, None]) + 0.5) * inside
-    win = win / jnp.sqrt(jnp.sum(win * win, axis=-1, keepdims=True))
+    arg = jnp.pi * pos * f0[:, None]
+    if window == "hanning":
+        win = 0.5 * jnp.cos(arg) + 0.5
+    else:                                                      # blackman
+        win = 0.42 + 0.5 * jnp.cos(arg) + 0.08 * jnp.cos(2.0 * arg)
+    win = win * inside
+    if normalize_window:
+        win = win / jnp.sqrt(jnp.sum(win * win, axis=-1, keepdims=True))
     wave = seg * win
     if bias_removal:
         coeff = jnp.sum(wave, axis=-1, keepdims=True) / jnp.sum(
             win, axis=-1, keepdims=True
         )
         wave = wave - win * coeff
-    return wave * inside
+    wave = wave * inside
+    if normalize_wave:
+        wave = wave / (jnp.sqrt(jnp.sum(wave * wave, -1, keepdims=True)) + 1e-30)
+    return wave
 
 
 def _dc_correction(power, f0, sr, fft_size):

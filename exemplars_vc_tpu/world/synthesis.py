@@ -77,7 +77,10 @@ def synthesize(
         ap, jnp.minimum(lo + 1, B - 1), 1) * frac
     nyq_mask = (harm_hz < 0.475 * sr).astype(sp.dtype)
     amp = jnp.sqrt(jnp.maximum(2.0 * sp_k * f0_safe[:, None] / sr, 0.0))
-    amp = amp * (1.0 - ap_k) * nyq_mask * voiced[:, None]       # (F, K)
+    # WORLD's energy partition: periodic POWER fraction is 1 − ap², noise
+    # power fraction ap² — amplitude scales by sqrt(1 − ap²), not (1 − ap)
+    amp = amp * jnp.sqrt(jnp.maximum(1.0 - ap_k * ap_k, 0.0)) \
+        * nyq_mask * voiced[:, None]                            # (F, K)
 
     # minimum-phase harmonic phases from the envelope cepstrum: for a
     # minimum-phase system, arg H(ω) = −Σ_{τ>0} 2·c_τ·sin(ωτ) with c the real

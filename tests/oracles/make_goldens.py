@@ -99,6 +99,30 @@ def make_world_goldens() -> None:
     print("wrote", path, os.path.getsize(path), "bytes")
 
 
+def make_d4c_goldens() -> None:
+    """D4C aperiodicity from the float64 oracle on the SAME committed f0
+    contours as the cheaptrick goldens."""
+    from exemplars_vc_tpu.io import read_wav
+    from tests.oracles.world_d4c import d4c_oracle
+
+    cheap = np.load(os.path.join(OUT_DIR, "world_cheaptrick_oracle.npz"))
+    out: dict[str, np.ndarray] = {}
+    for spk, name in WORLD_UTTS:
+        key = f"{spk}_{name}"
+        x, sr = read_wav(os.path.join(REF_DATA, spk, name + ".wav"))
+        f0 = cheap[f"{key}_f0"]
+        sel = cheap[f"{key}_sel"]
+        hop = int(round(sr * W_HOP_MS / 1000.0))
+        ap = d4c_oracle(np.asarray(x, np.float64), sr, f0[sel],
+                        sel * hop / sr, W_FFT)
+        out[f"{key}_ap"] = ap.astype(np.float32)
+        print(f"{key}: {len(sel)} frames, ap range "
+              f"[{ap.min():.4f}, {ap.max():.6f}]")
+    path = os.path.join(OUT_DIR, "world_d4c_oracle.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", path, os.path.getsize(path), "bytes")
+
+
 def main() -> None:
     import jax
 
@@ -107,6 +131,7 @@ def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     make_mcep_goldens()
     make_world_goldens()
+    make_d4c_goldens()
 
 
 if __name__ == "__main__":

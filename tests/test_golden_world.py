@@ -82,6 +82,79 @@ def test_cheaptrick_golden_reproducible(goldens):
     )
 
 
+D4C_GOLDENS = os.path.join(
+    os.path.dirname(__file__), "goldens", "world_d4c_oracle.npz"
+)
+
+
+def test_d4c_matches_world_oracle(goldens):
+    """Aperiodicity in dB vs the float64 D4C oracle within 0.5 dB on every
+    golden frame (measured headroom ~0.0004 dB; the gate leaves room for
+    voiced/unvoiced flips at the LoveTrain threshold on other platforms)."""
+    from exemplars_vc_tpu.io import read_wav
+    from exemplars_vc_tpu.world.d4c import d4c_aperiodicity
+
+    d4c_gold = np.load(D4C_GOLDENS)
+    for spk, name in WORLD_UTTS:
+        key = f"{spk}_{name}"
+        x, sr = read_wav(os.path.join(REF_DATA, spk, name + ".wav"))
+        f0 = goldens[f"{key}_f0"]
+        sel = goldens[f"{key}_sel"]
+        hop = int(round(sr * W_HOP_MS / 1000.0))
+        centers = np.arange(len(f0)) * hop
+        ap = np.asarray(
+            d4c_aperiodicity(
+                jnp.asarray(x, jnp.float32), jnp.asarray(f0, jnp.float32),
+                jnp.asarray(centers), sr=sr, fft_size=W_FFT,
+            )
+        )[sel]
+        ref = d4c_gold[f"{key}_ap"].astype(np.float64)
+        d_db = np.abs(20 * np.log10(ap + 1e-12) - 20 * np.log10(ref + 1e-12))
+        assert d_db.max() <= 0.5, f"{key}: max ap diff {d_db.max():.4f} dB"
+
+
+def test_d4c_known_hnr_quantitative():
+    """Quantitative aperiodicity on synthetic harmonic+noise mixes at known
+    HNRs (VERDICT r1 item 7): the estimated band aperiodicity must decrease
+    monotonically with HNR and land near sqrt(noise/total)."""
+    from exemplars_vc_tpu.world.d4c import d4c_aperiodicity
+
+    sr, f0v = 16000, 200.0
+    t = np.arange(int(sr * 0.6)) / sr
+    rng = np.random.default_rng(0)
+    harm = np.zeros_like(t)
+    for k in range(1, 36):                       # 1/k rolloff like speech —
+        if k * f0v < 7800:                       # flat spectra fail LoveTrain
+            harm += np.sin(2 * np.pi * k * f0v * t + rng.uniform(0, 6)) / k
+    harm /= np.sqrt(np.mean(harm**2))
+    noise = rng.standard_normal(len(t))
+    noise /= np.sqrt(np.mean(noise**2))
+
+    n_frames = len(t) // 80
+    centers = jnp.arange(n_frames) * 80
+    f0 = jnp.full((n_frames,), f0v, jnp.float32)
+
+    # band-local component energies → physically expected sqrt(noise/total)
+    freqs = np.fft.rfftfreq(len(t), 1 / sr)
+    band_sel = (freqs > 2300) & (freqs < 3600)
+    ph = np.sum(np.abs(np.fft.rfft(harm))[band_sel] ** 2)
+    pn = np.sum(np.abs(np.fft.rfft(noise))[band_sel] ** 2)
+
+    measured = []
+    for hnr_db in (20.0, 10.0, 0.0):
+        g = 10.0 ** (-hnr_db / 20.0)
+        x = jnp.asarray(harm + g * noise, jnp.float32)
+        ap = np.asarray(d4c_aperiodicity(x, f0, centers, sr=sr, fft_size=1024))
+        band = ap[5:-5, 150:230]                 # ~2.3-3.6 kHz (3 kHz band)
+        measured.append(float(np.median(band)))
+        expected = np.sqrt(g * g * pn / (ph + g * g * pn))
+        # within a factor ~2.5 in amplitude of the physical band ratio
+        assert expected / 2.5 < measured[-1] < min(1.0, expected * 2.5), (
+            hnr_db, measured[-1], expected
+        )
+    assert measured[0] < measured[1] < measured[2]
+
+
 def test_cheaptrick_unvoiced_uses_default_f0(goldens):
     """WORLD semantics: f0 <= floor (incl. unvoiced 0) analyzes at
     kDefaultF0 = 500 Hz — envelope equals an explicit 500 Hz call."""
