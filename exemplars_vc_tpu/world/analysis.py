@@ -36,7 +36,15 @@ def analyze(
 ) -> WorldFeatures:
     x = x.astype(jnp.float32)
     hop = int(round(sr * frame_period_ms / 1000.0))
-    if f0_method == "tracked":
+    if f0_method == "dio":
+        # WORLD's DIO algorithm (event-interval channels + contour fixing)
+        from exemplars_vc_tpu.world.dio import estimate_f0_dio
+
+        f0, _ = estimate_f0_dio(
+            x, sr=sr, frame_period_ms=frame_period_ms,
+            f0_floor=f0_floor, f0_ceil=f0_ceil,
+        )
+    elif f0_method == "tracked":
         # candidate-lattice Viterbi contour (harvest-style; robust to noise)
         f0, _ = estimate_f0_tracked(
             x, sr=sr, frame_period_ms=frame_period_ms,

@@ -256,54 +256,69 @@ def estimate_f0(
     return f0_out, f0_out > 0
 
 
-@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len", "n_cand"))
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "fft_size",
+                                   "max_win", "n_harmonics"))
 def refine_f0_stonemask(
     x: jnp.ndarray,
     f0: jnp.ndarray,
     sr: int = 16000,
     frame_period_ms: float = 5.0,
-    seg_len: int = 512,
-    n_cand: int = 25,
-    span: float = 0.06,
+    f0_floor: float = 71.0,
+    f0_ceil: float = 800.0,
+    fft_size: int = 2048,
+    max_win: int = 1024,
+    n_harmonics: int = 6,
 ):
-    """Refine an f0 contour by windowed-DFT peak picking around each estimate
-    (the role of ``pw.stonemask``, reference ``04_align_n_nmf.py:405-408``).
+    """WORLD StoneMask refinement (``pw.stonemask``, reference
+    ``04_align_n_nmf.py:405-408``), batched — verified against the float64
+    oracle in tests/oracles/world_dio.py.
 
-    One (F, L) × (L, n_cand) complex matmul per harmonic evaluates all frames
-    against their own candidate grids (frequencies enter via per-frame phase
-    ramps, so the matmul is einsum over a 3-D phase tensor)."""
+    Per voiced frame: a 3/f0-long Blackman window and its discrete
+    derivative window; the instantaneous frequency per bin is Flanagan's
+    ω_j + Im(conj(X)·X_diff)/|X|²·fs/2π; the refined f0 is the
+    amplitude-weighted mean of inst_freq(k·f0)/k over harmonics k ≤ 6.
+    WORLD picks a per-frame FFT size (2^(ceil(log2(3fs/f0))+1)); here one
+    static ``fft_size`` (the largest) serves every frame — a finer bin grid
+    for high-f0 frames, same estimator."""
     hop = int(round(sr * frame_period_ms / 1000.0))
     n_frames = f0.shape[0]
     centers = jnp.arange(n_frames) * hop
-    seg = _extract_segments(x, centers, seg_len)
-    seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
-    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(seg_len) / (seg_len - 1))
-    segw = seg * w
+    x = x.astype(jnp.float32)
+    cf = jnp.clip(jnp.where(f0 > 0, f0, f0_floor), f0_floor, f0_ceil)
 
-    f0_safe = jnp.where(f0 > 0, f0, 150.0)
-    grid = 1.0 + span * jnp.linspace(-1.0, 1.0, n_cand)     # relative grid
-    t = (jnp.arange(seg_len) - seg_len // 2) / sr           # (L,)
+    half = jnp.ceil(3.0 * sr / cf / 2.0)                       # (F,)
+    base = jnp.arange(max_win) - max_win // 2                  # (L,)
+    inside = jnp.abs(base)[None, :] <= half[:, None]
+    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
+    seg = x[idx]
+    n_win = 2.0 * half[:, None] + 1.0
+    phase = 2.0 * jnp.pi * base[None, :] / n_win
+    main = (0.42 + 0.5 * jnp.cos(phase) + 0.08 * jnp.cos(2.0 * phase)) * inside
+    # discrete derivative window with WORLD's edge handling (main = 0 outside)
+    diffw = -(jnp.pad(main, ((0, 0), (0, 1)))[:, 1:]
+              - jnp.pad(main, ((0, 0), (1, 0)))[:, :-1]) / 2.0
 
-    def harmonic_peak(h):
-        freqs = f0_safe[:, None] * grid[None, :] * h        # (F, C)
-        phase = 2.0 * jnp.pi * freqs[:, :, None] * t[None, None, :]
-        re = jnp.einsum("fl,fcl->fc", segw, jnp.cos(phase))
-        im = jnp.einsum("fl,fcl->fc", segw, jnp.sin(phase))
-        mag = re * re + im * im                             # (F, C)
-        k = jnp.argmax(mag, axis=-1)
-        m0 = jnp.take_along_axis(mag, k[:, None], -1)[:, 0]
-        mm = jnp.take_along_axis(mag, jnp.maximum(k - 1, 0)[:, None], -1)[:, 0]
-        mp = jnp.take_along_axis(mag, jnp.minimum(k + 1, n_cand - 1)[:, None], -1)[:, 0]
-        den = mm - 2.0 * m0 + mp
-        delta = jnp.where(jnp.abs(den) > 1e-12, 0.5 * (mm - mp) / den, 0.0)
-        delta = jnp.clip(delta, -0.5, 0.5)
-        rel = jnp.take(grid, k) + delta * (grid[1] - grid[0])
-        # rel is the deviation of harmonic h relative to h·f0, so f0·rel is
-        # already a fundamental-frequency estimate
-        f_est = f0_safe * rel
-        return f_est, jnp.sqrt(jnp.maximum(m0, 0.0))
+    X = _fft.rfft(seg * main, n=fft_size)
+    Xd = _fft.rfft(seg * diffw, n=fft_size)
+    power = X.real * X.real + X.imag * X.imag
+    B = power.shape[-1]
+    freqs = jnp.arange(B) * (sr / fft_size)
+    inst = freqs[None, :] + (X.real * Xd.imag - X.imag * Xd.real) / jnp.maximum(
+        power, 1e-30
+    ) * (sr / (2.0 * jnp.pi))
 
-    f1, w1 = harmonic_peak(1.0)
-    f2, w2 = harmonic_peak(2.0)
-    refined = (f1 * w1 + f2 * w2) / jnp.maximum(w1 + w2, 1e-12)
-    return jnp.where(f0 > 0, refined, 0.0)
+    num = jnp.zeros_like(cf)
+    den = jnp.zeros_like(cf)
+    for k in range(1, n_harmonics + 1):
+        j = jnp.floor(cf * k * fft_size / sr + 0.5).astype(jnp.int32)
+        ok = (k * cf < sr / 2.0) & (j < B)
+        j = jnp.clip(j, 0, B - 1)
+        amp = jnp.sqrt(jnp.take_along_axis(power, j[:, None], -1)[:, 0])
+        fk = jnp.take_along_axis(inst, j[:, None], -1)[:, 0]
+        amp = jnp.where(ok, amp, 0.0)
+        num = num + fk / k * amp
+        den = den + amp
+    refined = num / jnp.maximum(den, 1e-30)
+    # WORLD gates the refinement at kFloorF0StoneMask = 40 Hz
+    good = (refined >= 40.0) & (refined <= f0_ceil)
+    return jnp.where((f0 > 0) & good, refined, 0.0)
