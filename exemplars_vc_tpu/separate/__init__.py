@@ -53,6 +53,12 @@ from exemplars_vc_tpu.separate.multichannel import (
     fit_multichannel_nmf,
     separate_signal,
 )
+from exemplars_vc_tpu.separate.stereo_simm import (
+    StereoLeadSeparation,
+    StereoSIMM,
+    separate_lead_stereo,
+    stereo_simm,
+)
 
 __all__ = [
     "is_nmf",
@@ -71,6 +77,10 @@ __all__ = [
     "harmonic_dictionary",
     "hann_filter_basis",
     "separate_lead",
+    "StereoSIMM",
+    "StereoLeadSeparation",
+    "stereo_simm",
+    "separate_lead_stereo",
     "ula_steering",
     "mvdr_filter",
     "directivity_diagram",
