@@ -53,6 +53,12 @@ from exemplars_vc_tpu.separate.multichannel import (
     fit_multichannel_nmf,
     separate_signal,
 )
+from exemplars_vc_tpu.separate.lead_multichannel import (
+    MultichannelLead,
+    MultichannelSF,
+    fit_multichannel_sf,
+    separate_lead_multichannel,
+)
 from exemplars_vc_tpu.separate.stereo_simm import (
     StereoLeadSeparation,
     StereoSIMM,
@@ -81,6 +87,10 @@ __all__ = [
     "StereoLeadSeparation",
     "stereo_simm",
     "separate_lead_stereo",
+    "MultichannelSF",
+    "MultichannelLead",
+    "fit_multichannel_sf",
+    "separate_lead_multichannel",
     "ula_steering",
     "mvdr_filter",
     "directivity_diagram",
