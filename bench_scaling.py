@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--d", type=int, default=201)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the JSON artifact to this path")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +57,7 @@ def main():
     flops_per_iter = 4.0 * args.f * args.k * args.d  # two (F,K)x(K,D)-class matmuls
 
     results = []
+    H_by_shards = {}
     shard_counts = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev and args.k % s == 0]
     for shards in shard_counts:
         mesh = make_mesh(data=1, dict_=shards, devices=jax.devices()[:shards])
@@ -67,6 +70,7 @@ def main():
         jax.block_until_ready(st.H)
         hot = time.time() - t0
         tflops = flops_per_iter * args.iters / hot / 1e12
+        H_by_shards[shards] = np.asarray(st.H)
         results.append({
             "dict_shards": shards, "steady_s": round(hot, 3),
             "cold_s": round(cold, 3), "tflops": round(tflops, 2),
@@ -75,19 +79,49 @@ def main():
         log(f"shards={shards}: {hot:.3f}s steady ({tflops:.2f} TFLOP/s)")
 
     base = results[0]["steady_s"]
+    H1 = H_by_shards[shard_counts[0]]
+    h_scale = max(float(np.abs(H1).max()), 1e-30)
     for r in results:
         r["speedup"] = round(base / r["steady_s"], 3)
         r["efficiency"] = round(base / r["steady_s"] / r["dict_shards"], 3)
+        # correctness: activations must be identical across shard counts
+        # (one (F,D) psum per MU iteration is the only collective)
+        diff = float(np.abs(H_by_shards[r["dict_shards"]] - H1).max())
+        r["h_max_rel_diff_vs_1shard"] = diff / h_scale
 
-    print(json.dumps({
+    # modeled ICI efficiency per shard count (what the virtual mesh cannot
+    # measure): per MU iteration each chip does 4·F·(K/s)·D flops and one
+    # (F, D) fp32 psum ≈ 2·(s−1)/s · F·D·4 bytes over ICI (bidirectional
+    # ring all-reduce). Roofline constants: v4-class chip ≈ 137 TFLOP/s
+    # f32-on-MXU effective 1/2 of bf16 275, ICI ≈ 100 GB/s per link usable.
+    CHIP_FLOPS = 137e12 / 2
+    ICI_BYTES = 100e9
+    model = []
+    for s in shard_counts:
+        t_comp = 4.0 * args.f * (args.k / s) * args.d / CHIP_FLOPS
+        t_comm = 0.0 if s == 1 else (2.0 * (s - 1) / s) * (
+            args.f * args.d * 4.0) / ICI_BYTES
+        model.append({
+            "dict_shards": s,
+            "modeled_efficiency": round(t_comp / (t_comp + t_comm), 4),
+        })
+
+    payload = {
         "metric": "sharded-dictionary NMF (K=%d) MU iterations" % args.k,
         "platform": platform,
         "virtual_devices": virtual,
         "note": ("virtual CPU devices share one socket: timings validate the "
-                 "sharded collectives, not scaling") if virtual else
+                 "sharded collectives, not scaling — see modeled_ici for the "
+                 "analytic ICI roofline") if virtual else
                 "real-chip scaling over ICI",
         "results": results,
-    }), flush=True)
+        "modeled_ici": model,
+    }
+    out = json.dumps(payload)
+    print(out, flush=True)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(out + "\n")
 
 
 if __name__ == "__main__":
