@@ -75,8 +75,12 @@ def synthesize(
         sp, jnp.minimum(lo + 1, B - 1), 1) * frac
     ap_k = jnp.take_along_axis(ap, lo, 1) * (1 - frac) + jnp.take_along_axis(
         ap, jnp.minimum(lo + 1, B - 1), 1) * frac
-    nyq_mask = (harm_hz < 0.475 * sr).astype(sp.dtype)
-    amp = jnp.sqrt(jnp.maximum(2.0 * sp_k * f0_safe[:, None] / sr, 0.0))
+    nyq_mask = (harm_hz < 0.495 * sr).astype(sp.dtype)
+    # analyzer-consistent harmonic gain, calibrated against THIS framework's
+    # CheapTrick: a pure harmonic series with a_k² = 4·sp(k·f0)·f0/sr
+    # re-analyzes to the same sp (measured flat to <0.3 dB; with the 2.0
+    # constant the round trip sat 3 dB low across all bands)
+    amp = jnp.sqrt(jnp.maximum(4.0 * sp_k * f0_safe[:, None] / sr, 0.0))
     # WORLD's energy partition: periodic POWER fraction is 1 − ap², noise
     # power fraction ap² — amplitude scales by sqrt(1 − ap²), not (1 − ap)
     amp = amp * jnp.sqrt(jnp.maximum(1.0 - ap_k * ap_k, 0.0)) \
