@@ -213,6 +213,54 @@ def cmd_separate(args):
                       "nll_first": float(nll[0]), "nll_last": float(nll[-1])}))
 
 
+def cmd_separate_lead(args):
+    """Lead/accompaniment separation (SIMM family, separate/)."""
+    import numpy as np
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from exemplars_vc_tpu.io import read_wav, write_wav
+
+    x, sr = read_wav(args.wav)
+    kw = dict(sample_rate=float(sr), n_fft=args.n_fft,
+              hop_length=args.hop, f0_min=args.f0_min, f0_max=args.f0_max,
+              n_accomp=args.components, key=jax.random.PRNGKey(args.seed))
+    if args.model == "mono":
+        from exemplars_vc_tpu.separate import separate_lead
+
+        res = separate_lead(jnp.asarray(x, jnp.float32),
+                            n_iter=args.iters, **kw)
+    elif args.model == "stereo":
+        from exemplars_vc_tpu.separate import separate_lead_stereo
+
+        res = separate_lead_stereo(jnp.asarray(x, jnp.float32),
+                                   n_iter=args.iters, **kw)
+    else:  # multichannel — the composed source-F0-filter FASST model
+        from exemplars_vc_tpu.separate import separate_lead_multichannel
+
+        res = separate_lead_multichannel(
+            jnp.asarray(x, jnp.float32), n_iter_simm=args.iters,
+            n_em=args.em_iters, **kw)
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.wav))[0]
+    lead_p = os.path.join(args.out_dir, f"{base}_lead.wav")
+    acc_p = os.path.join(args.out_dir, f"{base}_accomp.wav")
+    write_wav(lead_p, np.asarray(res.lead).mean(axis=0), sr)
+    write_wav(acc_p, np.asarray(res.accomp).mean(axis=0), sr)
+    f0 = np.asarray(res.f0)
+    print(json.dumps({
+        "lead": lead_p, "accomp": acc_p, "sr": sr,
+        "voiced_frames": int((f0 > 0).sum()),
+        "f0_median": float(np.median(f0[f0 > 0])) if (f0 > 0).any() else 0.0,
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="exemplars-vc-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -273,6 +321,26 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
     p.set_defaults(fn=cmd_separate)
+
+    p = sub.add_parser("separate-lead", help="lead/accompaniment separation "
+                                             "(SIMM / stereo SIMM / composed "
+                                             "multichannel, separate/)")
+    p.add_argument("--wav", required=True, help="mixture wav")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--model", default="stereo",
+                   choices=["mono", "stereo", "multichannel"])
+    p.add_argument("--components", type=int, default=40,
+                   help="accompaniment NMF components")
+    p.add_argument("--iters", type=int, default=30, help="SIMM iterations per round")
+    p.add_argument("--em-iters", type=int, default=20,
+                   help="multichannel EM iterations (model=multichannel)")
+    p.add_argument("--f0-min", type=float, default=100.0)
+    p.add_argument("--f0-max", type=float, default=800.0)
+    p.add_argument("--n-fft", type=int, default=1024)
+    p.add_argument("--hop", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=cmd_separate_lead)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -189,6 +189,20 @@ def test_cli_separate(tmp_path, capsys):
     assert payload["nll_last"] < payload["nll_first"]
 
 
+def test_cli_separate_lead(tmp_path, capsys):
+    from exemplars_vc_tpu.pipelines.cli import main
+
+    main(["separate-lead", "--wav", os.path.join(DATA, "SF1", "100001.wav"),
+          "--out-dir", str(tmp_path / "lead"), "--model", "stereo",
+          "--components", "4", "--iters", "4", "--n-fft", "512",
+          "--hop", "128", "--f0-min", "120", "--f0-max", "350"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.isfile(payload["lead"])
+    assert os.path.isfile(payload["accomp"])
+    assert payload["voiced_frames"] > 0
+    assert 120 <= payload["f0_median"] <= 350
+
+
 def test_make_dictionary_mcep_feature(cfg, tmp_path):
     from exemplars_vc_tpu.io import ArtifactStore
 
