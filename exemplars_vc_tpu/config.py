@@ -84,11 +84,15 @@ class WorldConfig:
     f0_floor: float = 71.0
     f0_ceil: float = 800.0
     fft_size: int = 1024
-    # "dio" (WORLD's algorithm, oracle-pinned) | "ncc" (greedy NCC) |
-    # "tracked" (Viterbi lattice). Default chosen from the recorded
-    # known-truth comparison in BENCHMARKS.md (§f0 method selection): dio
-    # had the lowest gross-error rate (0% on glide and weak-fundamental
-    # cases where ncc had 0.6-1.2%) at equal median accuracy (~0.5 cents).
+    # "dio" | "harvest" (WORLD's algorithms, oracle-pinned) | "ncc"
+    # (greedy NCC) | "tracked" (Viterbi lattice). Default chosen from the
+    # recorded known-truth comparison in BENCHMARKS.md (§f0 method
+    # selection): dio had the lowest gross-error rate (0% on glide and
+    # weak-fundamental cases where ncc had 0.6-1.2%) at equal median
+    # accuracy (~0.5 cents); harvest is more accurate still (≤0.4 cents,
+    # solves weak fundamentals) at ~10× the compute — the reference's
+    # conv-dicts stage actually calls pw.harvest, so pick it for parity
+    # experiments.
     f0_method: str = "dio"
 
 

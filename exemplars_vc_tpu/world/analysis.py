@@ -44,6 +44,14 @@ def analyze(
             x, sr=sr, frame_period_ms=frame_period_ms,
             f0_floor=f0_floor, f0_ceil=f0_ceil,
         )
+    elif f0_method == "harvest":
+        # WORLD's Harvest (dense band-pass channels + IF-refined candidates)
+        from exemplars_vc_tpu.world.harvest import estimate_f0_harvest
+
+        f0, _ = estimate_f0_harvest(
+            x, sr=sr, frame_period_ms=frame_period_ms,
+            f0_floor=f0_floor, f0_ceil=f0_ceil,
+        )
     elif f0_method == "tracked":
         # candidate-lattice Viterbi contour (harvest-style; robust to noise)
         f0, _ = estimate_f0_tracked(
