@@ -45,6 +45,26 @@ class LeadSeparation(NamedTuple):
     HF0: jnp.ndarray
 
 
+def klglott88_amplitudes(n_harmonics: int, open_quotient: float = 0.5,
+                         oversample: int = 4096) -> np.ndarray:
+    """|a_h| of the KLGLOTT88 glottal flow derivative, h = 1..n_harmonics.
+
+    The source model behind pyfasst's F0 dictionary
+    (``separateLeadFunctions.py``: ``generateODGDspec``, Ot=0.5 as passed at
+    ``audioModel.py:2621``): the derivative of the Klatt-Klatt 1990 glottal
+    flow over one period is the cubic pulse p(τ) ∝ 27/4·(τ/Ot)²·(1 − τ/Ot)
+    on τ ∈ [0, Ot], 0 elsewhere; a_h is its h-th Fourier coefficient —
+    evaluated numerically (one FFT of a finely sampled period; exact to the
+    oversampling, no closed-form transcription to get wrong).
+    """
+    tau = np.arange(oversample) / oversample
+    r = tau / open_quotient
+    pulse = np.where(tau < open_quotient, 27.0 / 4.0 * r * r * (1.0 - r), 0.0)
+    spec = np.fft.rfft(pulse) / oversample
+    amps = np.abs(spec[1 : n_harmonics + 1])
+    return (amps / max(amps.max(), 1e-30)).astype(np.float32)
+
+
 def harmonic_dictionary(
     f0_grid: np.ndarray,
     n_fft: int,
@@ -52,25 +72,57 @@ def harmonic_dictionary(
     n_harmonics: int = 30,
     decay: float = 1.2,
     lobe_bins: float = 1.3,
+    source: str = "decay",
+    open_quotient: float = 0.5,
+    chirp_per_f0: int = 1,
+    chirp_depth_semitones: float = 0.5,
 ) -> jnp.ndarray:
-    """WF0: harmonic-comb source spectra — (n_fft//2+1, P), columns sum to 1.
+    """WF0: harmonic-comb source spectra — (n_fft//2+1, P·chirp_per_f0),
+    columns sum to 1.
 
     ≙ pyfasst's KLGLOTT88-derived F0 dictionary
     (``separateLeadFunctions.py``: ``generate_WF0_chirped`` family): each
-    candidate f0 contributes spectral lobes at its harmonics with a
-    ``1/h^decay`` rolloff; lobes are Gaussian with ``lobe_bins`` std in DFT
-    bins (the analysis-window mainlobe stand-in). Evaluated as one
-    (F × P × H) broadcast — no per-candidate loop.
+    candidate f0 contributes spectral lobes at its harmonics; lobes are
+    Gaussian with ``lobe_bins`` std in DFT bins (the analysis-window
+    mainlobe stand-in). Evaluated as one (F × P·C × H) broadcast — no
+    per-candidate loop.
+
+    source: ``"decay"`` — 1/h^decay rolloff (a smooth stand-in);
+    ``"klglott88"`` — the reference's actual glottal source amplitudes
+    (``klglott88_amplitudes``, POWER spectra |a_h|² as pyfasst squares its
+    ODGD magnitude).
+
+    chirp_per_f0 > 1 adds chirped atom variants per candidate (pyfasst's
+    ``chirpPerF0``/``depthChirpInSemiTone``, ``audioModel.py:2617-2621``):
+    variant c models a within-frame glide of up to ±``chirp_depth_semitones``
+    — harmonic h's lobe widens by h·Δf/2 bins, catching vibrato/glides a
+    stationary comb misses. Variants are interleaved per candidate:
+    column p·chirp_per_f0 + c is candidate p, chirp c.
     """
     F = n_fft // 2 + 1
     f0 = jnp.asarray(f0_grid, jnp.float32)                     # (P,)
     bins = jnp.arange(F, dtype=jnp.float32)                    # (F,)
     h = jnp.arange(1, n_harmonics + 1, dtype=jnp.float32)      # (H,)
-    centers = f0[None, :, None] * h[None, None, :] * n_fft / sample_rate
-    amp = h ** (-decay)
+    if source == "klglott88":
+        amp = jnp.asarray(
+            klglott88_amplitudes(n_harmonics, open_quotient) ** 2)
+    elif source == "decay":
+        amp = h ** (-decay)
+    else:
+        raise ValueError(f"unknown source {source!r}")
+
+    # chirp variants: fractional within-frame f0 smear per variant
+    c = np.arange(chirp_per_f0, dtype=np.float32)
+    smear = (2.0 ** (c * chirp_depth_semitones
+                     / max(chirp_per_f0 - 1, 1) / 12.0) - 1.0)  # (C,)
+    f0c = jnp.repeat(f0, chirp_per_f0)                          # (P·C,)
+    smear_c = jnp.tile(jnp.asarray(smear), f0.shape[0])         # (P·C,)
+
+    centers = f0c[None, :, None] * h[None, None, :] * n_fft / sample_rate
+    width = lobe_bins + 0.5 * smear_c[None, :, None] * centers
     lobes = amp[None, None, :] * jnp.exp(
-        -0.5 * ((bins[:, None, None] - centers) / lobe_bins) ** 2
-    )
+        -0.5 * ((bins[:, None, None] - centers) / width) ** 2
+    ) * lobe_bins / width
     # harmonics above Nyquist center outside [0, F) and decay to ~0 anyway
     W = lobes.sum(axis=2)
     return W / jnp.maximum(W.sum(axis=0, keepdims=True), _EPS)

@@ -168,3 +168,50 @@ class TestSeparateLeadStereo:
         res = separate_lead_stereo(x[0], n_iter=5, f0_min=150.0,
                                    f0_max=500.0, n_accomp=4)
         assert res.lead.shape[0] == 2
+
+
+class TestHarmonicDictionaryVariants:
+    """KLGLOTT88 source + chirped atoms (pyfasst generate_WF0_chirped)."""
+
+    def test_klglott88_amplitudes_decay_and_convergence(self):
+        from exemplars_vc_tpu.separate.lead import klglott88_amplitudes
+
+        a = klglott88_amplitudes(10)
+        assert a[0] == 1.0
+        assert np.all(np.diff(a) < 0)           # monotone rolloff
+        a2 = klglott88_amplitudes(10, oversample=16384)
+        assert np.abs(a - a2).max() < 1e-4      # oversampling converged
+
+    def test_chirped_dictionary_shapes_and_widths(self):
+        f0g = 100 * 2.0 ** (np.arange(6) / 12.0)
+        W = np.asarray(harmonic_dictionary(f0g, 1024, 16000.0, 8,
+                                           chirp_per_f0=3))
+        assert W.shape == (513, 18)
+        assert np.allclose(W.sum(axis=0), 1.0, atol=1e-5)
+        # later chirp variants spread energy over more bins (flatter columns)
+        peak0 = W[:, 0].max()
+        peak2 = W[:, 2].max()
+        assert peak2 < peak0
+
+    def test_klglott88_source_separates_melody(self):
+        from exemplars_vc_tpu.separate.lead import hann_filter_basis
+        from exemplars_vc_tpu.separate.stereo_simm import stereo_simm
+
+        x, true_lead, _ = _stereo_melody_mixture(T=8000)
+        from exemplars_vc_tpu.dsp.stft import stft
+        import jax.numpy as jnp
+
+        S = stft(jnp.asarray(x), n_fft=1024, hop_length=256)
+        X = jnp.transpose(S, (0, 2, 1))
+        SXR = jnp.maximum(jnp.abs(X[0]) ** 2, 1e-20)
+        SXL = jnp.maximum(jnp.abs(X[1]) ** 2, 1e-20)
+        sc = 0.5 * (SXR.mean() + SXL.mean())
+        n_steps = 40
+        f0g = 150.0 * 2.0 ** (np.arange(n_steps) / 24.0)
+        WF0 = harmonic_dictionary(f0g, 1024, 16000.0, 10, source="klglott88")
+        WG = hann_filter_basis(513, 10)
+        m = stereo_simm(SXR / sc, SXL / sc, WF0, WG, n_filters=3,
+                        n_accomp=6, n_iter=15)
+        errs = np.asarray(m.is_error)
+        assert np.isfinite(errs).all() and errs[-1] < errs[0]
+
