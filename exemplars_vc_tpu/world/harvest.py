@@ -214,7 +214,10 @@ def estimate_f0_harvest(
     ]).astype(jnp.float32)
 
     # a band-passed signal's event rate is bounded by its channel band
-    e_max = int(T / sr * f0_ceil * 1.21) + 16
+    # (top boundary ≈ 1.11·f0_ceil); 2× margin so noisy channels cannot
+    # overflow the ordinal scatters (overflow would corrupt only that
+    # channel's track, but the ±10% gate then reads garbage)
+    e_max = int(T / sr * f0_ceil * 2.0) + 16
     loc, iv, count = _event_tracks(sigs, offsets, e_max)
     n_mid = jnp.maximum(count - 1, 0)
     tracks_hz = _interp_tracks(loc, iv, n_mid, pos1) * sr          # (4C, F1)
