@@ -15,12 +15,15 @@ import numpy as np
 _PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
 
 
-def read_wav(path: str, dtype=np.float64) -> tuple[np.ndarray, int]:
-    """Read a RIFF/WAVE file → (mono float signal in [-1, 1), sample_rate).
+def read_wav(path: str, dtype=np.float64,
+             mono: bool = True) -> tuple[np.ndarray, int]:
+    """Read a RIFF/WAVE file → (float signal in [-1, 1), sample_rate).
 
     Matches ``librosa.load(path, sr=None, dtype=np.double)`` semantics used at
     reference ``utils.py:218-220`` / ``04_align_n_nmf.py:398``: native sample
     rate, int PCM scaled by 2**(bits-1), multi-channel averaged to mono.
+    ``mono=False`` instead returns the channels as (C, T) — for the stereo
+    separation models, whose spatial estimation needs real channels.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -74,7 +77,13 @@ def read_wav(path: str, dtype=np.float64) -> tuple[np.ndarray, int]:
 
     if n_channels > 1:
         x = x[: (len(x) // n_channels) * n_channels]
-        x = x.reshape(-1, n_channels).mean(axis=1)
+        frames = x.reshape(-1, n_channels)
+        if mono:
+            x = frames.mean(axis=1)
+        else:
+            x = frames.T
+    elif not mono:
+        x = x[None, :]
     return np.ascontiguousarray(x, dtype=dtype), sample_rate
 
 

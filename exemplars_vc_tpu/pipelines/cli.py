@@ -227,7 +227,9 @@ def cmd_separate_lead(args):
 
     from exemplars_vc_tpu.io import read_wav, write_wav
 
-    x, sr = read_wav(args.wav)
+    # real channels — the stereo/multichannel models need the spatial image
+    # (separate_lead also accepts (C, T): it masks each channel)
+    x, sr = read_wav(args.wav, mono=False)
     kw = dict(sample_rate=float(sr), n_fft=args.n_fft,
               hop_length=args.hop, f0_min=args.f0_min, f0_max=args.f0_max,
               n_accomp=args.components, key=jax.random.PRNGKey(args.seed))

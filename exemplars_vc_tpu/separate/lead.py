@@ -52,16 +52,20 @@ def klglott88_amplitudes(n_harmonics: int, open_quotient: float = 0.5,
     The source model behind pyfasst's F0 dictionary
     (``separateLeadFunctions.py``: ``generateODGDspec``, Ot=0.5 as passed at
     ``audioModel.py:2621``): the derivative of the Klatt-Klatt 1990 glottal
-    flow over one period is the cubic pulse p(τ) ∝ 27/4·(τ/Ot)²·(1 − τ/Ot)
-    on τ ∈ [0, Ot], 0 elsewhere; a_h is its h-th Fourier coefficient —
-    evaluated numerically (one FFT of a finely sampled period; exact to the
-    oversampling, no closed-form transcription to get wrong).
+    flow over one period: the flow itself is the cubic pulse
+    U(τ) ∝ 27/4·(τ/Ot)²·(1 − τ/Ot) on τ ∈ [0, Ot], 0 elsewhere; the ODGD's
+    h-th Fourier coefficient is i·2π·h times the flow's (differentiation in
+    frequency) — evaluated numerically (one FFT of a finely sampled period;
+    exact to the oversampling, no closed-form transcription to get wrong).
+    The h multiplier matters: the ODGD peaks at h=2 (verified against the
+    analytic generate_ODGD_spec amplitudes), the raw flow at h=1.
     """
     tau = np.arange(oversample) / oversample
     r = tau / open_quotient
-    pulse = np.where(tau < open_quotient, 27.0 / 4.0 * r * r * (1.0 - r), 0.0)
-    spec = np.fft.rfft(pulse) / oversample
-    amps = np.abs(spec[1 : n_harmonics + 1])
+    flow = np.where(tau < open_quotient, 27.0 / 4.0 * r * r * (1.0 - r), 0.0)
+    spec = np.fft.rfft(flow) / oversample
+    h = np.arange(1, n_harmonics + 1)
+    amps = np.abs(spec[1 : n_harmonics + 1]) * h   # d/dτ ⇒ ×(2π h), const. dropped
     return (amps / max(amps.max(), 1e-30)).astype(np.float32)
 
 

@@ -37,8 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from exemplars_vc_tpu.separate.multichannel import (
-    _inv_hermitian,
     _spatial_estep,
+    _wiener_images_v,
+    random_spatial_init,
 )
 
 _EPS = 1e-10
@@ -152,19 +153,9 @@ def _em_sf_loop(X, WF0, WGAMMA, HF00, FW0, TW0, W0, H0, R0,
     return MultichannelSF(HF0, FW, TW, W, H, R, nlls)
 
 
-@jax.jit
-def _wiener_images_sf(X, v, R):
-    """Posterior source images for a stacked power model v (J, F, N)."""
-    C = X.shape[-1]
-    eye = jnp.eye(C, dtype=X.dtype)
-    rdt = X.real.dtype
-    Sigma = jnp.einsum("jfn,jfcd->fncd", v.astype(rdt), R)
-    tr = jnp.real(jnp.trace(Sigma, axis1=-2, axis2=-1))
-    delta = (1e-6 * tr / C + 1e-12).astype(rdt)
-    Sinv = _inv_hermitian(Sigma + delta[..., None, None] * eye)
-    vR = v[..., None, None].astype(rdt) * R[:, :, None, :, :]
-    G = jnp.einsum("jfncd,fnde->jfnce", vR, Sinv)
-    return jnp.einsum("jfncd,fnd->jfnc", G, X)
+# posterior source images for the stacked power model — the shared
+# multichannel Wiener path (one implementation for every spectral model)
+_wiener_images_sf = _wiener_images_v
 
 
 def model_power(model: MultichannelSF, WF0, WGAMMA) -> jnp.ndarray:
@@ -220,14 +211,7 @@ def fit_multichannel_sf(
     W = init(ks[3], (n_acc_sources, F, n_acc_components), W_init)
     H = init(ks[4], (n_acc_sources, n_acc_components, N), H_init)
     if R_init is None:
-        a = (jax.random.normal(ks[5], (J, C))
-             + 1j * jax.random.normal(ks[5], (J, C)))
-        aaH = a[:, :, None] * jnp.conj(a)[:, None, :]
-        aaH = aaH / jnp.maximum(
-            jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1))[:, None, None], _EPS)
-        R = (jnp.eye(C, dtype=jnp.complex64)[None] * 0.8
-             + 0.2 * C * aaH.astype(jnp.complex64))
-        R = jnp.broadcast_to(R[:, None], (J, F, C, C)).astype(jnp.complex64)
+        R = random_spatial_init(ks[5], J, F, C)
     else:
         R = jnp.asarray(R_init, jnp.complex64)
     return _em_sf_loop(
@@ -312,6 +296,9 @@ def separate_lead_multichannel(
     WGAMMA = hann_filter_basis(F, n_filt_atoms)
 
     # ---- 2. spatial estimation on the separated signals -------------------
+    if spatial_init == "demix" and C != 2:
+        # DEMIX is stereo-only; the empirical covariance path supports any C
+        spatial_init = "empirical"
     if spatial_init == "demix":
         from exemplars_vc_tpu.separate.demix import demix
 

@@ -168,11 +168,12 @@ def _em_loop(X, W0, H0, R0, n_em: int, n_nmf_inner: int):
 
 
 @jax.jit
-def _wiener_images(X, W, H, R):
-    """Posterior source-image STFTs ŷ_j = v_j R_j Σ_x⁻¹ x — (J, F, N, C)."""
-    F, N, C = X.shape
+def _wiener_images_v(X, v, R):
+    """Posterior source-image STFTs ŷ_j = v_j R_j Σ_x⁻¹ x — (J, F, N, C),
+    for an arbitrary stacked spectral power model v (J, F, N)."""
+    C = X.shape[-1]
     eye = jnp.eye(C, dtype=X.dtype)
-    v = jnp.maximum(jnp.einsum("jfk,jkn->jfn", W, H), _EPS)
+    v = jnp.maximum(v, _EPS)
     Sigma = jnp.einsum("jfn,jfcd->fncd", v.astype(X.real.dtype), R)
     tr = jnp.real(jnp.trace(Sigma, axis1=-2, axis2=-1))
     delta = (1e-6 * tr / C + 1e-12).astype(X.real.dtype)
@@ -180,6 +181,33 @@ def _wiener_images(X, W, H, R):
     vR = v[..., None, None].astype(X.real.dtype) * R[:, :, None, :, :]
     G = jnp.einsum("jfncd,fnde->jfnce", vR, Sinv)
     return jnp.einsum("jfncd,fnd->jfnc", G, X)
+
+
+@jax.jit
+def _wiener_images(X, W, H, R):
+    """NMF-spectral-model wrapper around ``_wiener_images_v``."""
+    v = jnp.einsum("jfk,jkn->jfn", W, H)
+    return _wiener_images_v(X, v, R)
+
+
+def random_spatial_init(key, n_sources: int, F: int, C: int,
+                        mix: float = 0.2) -> jnp.ndarray:
+    """Identity-plus-random-rank-1 spatial covariances (J, F, C, C).
+
+    pyfasst inits its mixing parameters randomly too (``audioModel.py``
+    ``_initialize_structures``); the complex perturbation uses independent
+    real/imaginary draws so sources start with distinct inter-channel PHASE
+    as well as gain."""
+    kr, ki = jax.random.split(key)
+    a = (jax.random.normal(kr, (n_sources, C))
+         + 1j * jax.random.normal(ki, (n_sources, C)))
+    aaH = a[:, :, None] * jnp.conj(a)[:, None, :]
+    aaH = aaH / jnp.maximum(
+        jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1))[:, None, None], _EPS)
+    R = (jnp.eye(C, dtype=jnp.complex64)[None] * (1.0 - mix)
+         + mix * C * aaH.astype(jnp.complex64))
+    return jnp.broadcast_to(
+        R[:, None], (n_sources, F, C, C)).astype(jnp.complex64)
 
 
 def fit_multichannel_nmf(
@@ -211,14 +239,7 @@ def fit_multichannel_nmf(
     H = (jax.random.normal(kh, (J, K, N)) ** 2
          if H_init is None else jnp.asarray(H_init, jnp.float32))
     if R_init is None:
-        a = jax.random.normal(kr, (J, C)) + 1j * jax.random.normal(kr, (J, C))
-        aaH = a[:, :, None] * jnp.conj(a)[:, None, :]
-        aaH = aaH / jnp.maximum(
-            jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1))[:, None, None], _EPS
-        )
-        R = (jnp.eye(C, dtype=jnp.complex64)[None] * (1.0 - 0.2)
-             + 0.2 * C * aaH.astype(jnp.complex64))
-        R = jnp.broadcast_to(R[:, None], (J, F, C, C)).astype(jnp.complex64)
+        R = random_spatial_init(kr, J, F, C)
     else:
         R = jnp.asarray(R_init, jnp.complex64)
     return _em_loop(jnp.asarray(X, jnp.complex64), W.astype(jnp.float32),

@@ -24,7 +24,7 @@ mono ``separate.isnmf.sf_nmf`` model.
 TPU-first: the whole iteration is a ``lax.scan`` of fused MXU matmuls over
 both channels at once; nothing leaves the device. The float64 oracle for
 this module lives in ``tests/oracles/stereo_simm.py`` and the trajectory
-parity test in ``tests/test_separate_ext.py``.
+parity test in ``tests/test_stereo_simm.py``.
 
 ``separate_lead_stereo`` is the two-round VUIMM pipeline of
 ``SeparateLeadStereoTF.py``: round 1 estimates all parameters (HGAMMA

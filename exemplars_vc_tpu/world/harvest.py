@@ -24,6 +24,13 @@ verified against the float64 oracle in ``tests/oracles/world_harvest.py``:
    zero-phase [¼ ½ ¼]² smoothing of voiced segments; sampled from the
    1 ms grid to the requested frame period.
 
+Deviation from the oracle, beyond float32: the oracle's explicit
+``_fix_step4_merge`` (endpoint-interpolated bridging of short unvoiced
+gaps) has no separate counterpart here — the while-loop candidate-pool
+extension closes the same gaps whenever the pool supports them, and the
+residual disagreement is absorbed by the golden test's VUV gate
+(``tests/test_golden_harvest.py``, ≥0.90 measured ≥0.94).
+
 TPU-first shape discipline: the channel bank is ONE grouped ``lax.conv``
 (158 channels at the default range); the four event tracks reuse DIO's
 masked ordinal scatters (``world.dio._event_tracks``) with an event

@@ -16,6 +16,41 @@ def test_wav_roundtrip(tmp_path):
     assert np.max(np.abs(y - x)) < 1.0 / 32000
 
 
+def test_read_wav_mono_false_returns_channels(tmp_path):
+    """mono=False returns (C, T) — stereo files keep real channels, mono
+    files are promoted to (1, T). Stereo written by interleaving int16."""
+    import struct
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    left = (0.5 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    right = (0.25 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    inter = np.empty(2 * sr, np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    raw = inter.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+           + b"data" + struct.pack("<I", len(raw)))
+    p = str(tmp_path / "st.wav")
+    with open(p, "wb") as fh:
+        fh.write(hdr + raw)
+
+    x, got_sr = read_wav(p, mono=False)
+    assert got_sr == sr and x.shape == (2, sr)
+    assert np.max(np.abs(x[0] - left / 32768.0)) < 1e-4
+    assert np.max(np.abs(x[1] - right / 32768.0)) < 1e-4
+    # mono=True still downmixes
+    m, _ = read_wav(p)
+    assert m.shape == (sr,)
+    assert np.allclose(m, (x[0] + x[1]) / 2.0, atol=1e-6)
+    # mono file promoted to (1, T)
+    pm = str(tmp_path / "m.wav")
+    write_wav(pm, np.sin(2 * np.pi * 220 * t), sr)
+    xm, _ = read_wav(pm, mono=False)
+    assert xm.shape == (1, sr)
+
+
 def test_read_reference_wav(sf1_wav):
     x, sr = sf1_wav
     assert sr == 16000

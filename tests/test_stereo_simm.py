@@ -177,10 +177,13 @@ class TestHarmonicDictionaryVariants:
         from exemplars_vc_tpu.separate.lead import klglott88_amplitudes
 
         a = klglott88_amplitudes(10)
-        assert a[0] == 1.0
-        assert np.all(np.diff(a) < 0)           # monotone rolloff
+        # ODGD (flow DERIVATIVE) at Ot=0.5 peaks at h=2, then rolls off —
+        # matches the reference's analytic generate_ODGD_spec shape
+        assert np.argmax(a) == 1
+        assert a[0] > 0.8                        # h=1 close behind
+        assert np.all(np.diff(a[1:]) < 0)        # monotone after the peak
         a2 = klglott88_amplitudes(10, oversample=16384)
-        assert np.abs(a - a2).max() < 1e-4      # oversampling converged
+        assert np.abs(a - a2).max() < 1e-4       # oversampling converged
 
     def test_chirped_dictionary_shapes_and_widths(self):
         f0g = 100 * 2.0 ** (np.arange(6) / 12.0)
