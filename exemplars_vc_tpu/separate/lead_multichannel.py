@@ -246,6 +246,7 @@ def separate_lead_multichannel(
     n_accomp: int = 40,
     n_iter_simm: int = 30,
     n_em: int = 20,
+    n_acc_sources: int = 1,
     spatial_init: str = "demix",
     key: jax.Array | None = None,
 ) -> MultichannelLead:
@@ -324,13 +325,25 @@ def separate_lead_multichannel(
         raise ValueError(f"unknown spatial_init {spatial_init!r}")
 
     # ---- 3+4. composed model seeded with the SIMM parameters --------------
+    # the reference's nbComps is configurable (audioModel.py:2557) — the
+    # SIMM accompaniment factors are split across the n_acc_sources free-NMF
+    # sources (each takes a slice of WM/HM columns); all accompaniment
+    # sources start at the SIMM accompaniment's spatial estimate
     m = simm.model
+    J_acc = max(int(n_acc_sources), 1)
+    k_per = max(n_accomp // J_acc, 1)
+    W_seed = jnp.stack([
+        m.WM[:, j * k_per : (j + 1) * k_per] for j in range(J_acc)])
+    H_seed = jnp.stack([
+        m.HM[j * k_per : (j + 1) * k_per] for j in range(J_acc)])
+    R0 = jnp.concatenate(
+        [R0[:1], jnp.broadcast_to(R0[1:2], (J_acc,) + R0.shape[1:])])
     model = fit_multichannel_sf(
         X, WUF0, WGAMMA,
-        n_acc_sources=1, n_filters=n_filters,
-        n_acc_components=n_accomp, n_em=n_em, key=k2,
+        n_acc_sources=J_acc, n_filters=n_filters,
+        n_acc_components=k_per, n_em=n_em, key=k2,
         HF0_init=m.HF0, FW_init=m.HGAMMA, TW_init=m.HPHI,
-        W_init=m.WM[None], H_init=m.HM[None], R_init=R0)
+        W_init=W_seed, H_init=H_seed, R_init=R0)
 
     v = model_power(model, WUF0, WGAMMA)
     Y = _wiener_images_sf(X, v, model.R)                   # (J,F,N,C)
@@ -338,6 +351,7 @@ def separate_lead_multichannel(
     flat = specs.reshape((-1,) + specs.shape[2:])
     audio = jax.vmap(
         lambda s: istft(s, n_fft=n_fft, hop_length=hop_length, length=T)
-    )(flat).reshape(2, C, T)
+    )(flat).reshape(1 + J_acc, C, T)
 
-    return MultichannelLead(audio[0], audio[1], simm.f0, model, simm)
+    return MultichannelLead(audio[0], audio[1:].sum(axis=0), simm.f0,
+                            model, simm)

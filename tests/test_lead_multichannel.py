@@ -116,3 +116,15 @@ class TestSeparateLeadMultichannel:
             n_iter_simm=15, n_em=8, spatial_init="empirical")
         assert np.isfinite(np.asarray(res.lead)).all()
         assert res.accomp.shape == x.shape
+
+    def test_multiple_accompaniment_sources(self):
+        x, _, _ = _stereo_melody_mixture(T=8000)
+        res = separate_lead_multichannel(
+            x, f0_min=150.0, f0_max=500.0, n_harmonics=10, n_accomp=6,
+            n_iter_simm=10, n_em=6, n_acc_sources=2)
+        assert res.model.W.shape[0] == 2      # two free-NMF sources
+        assert res.model.R.shape[0] == 3      # lead + 2 accompaniment
+        assert res.lead.shape == x.shape
+        assert res.accomp.shape == x.shape    # summed accompaniment images
+        nll = np.asarray(res.model.neg_log_like)
+        assert nll[-1] < nll[0]
