@@ -128,6 +128,16 @@ class NmfConfig:
     # λ‖H‖₁ sparsity on the activations (0 = off, sklearn-parity); the
     # conventional sparse-coding constraint of exemplar-based VC. mu solver.
     sparsity_l1: float = 0.0
+    # multi-frame exemplars: stack ±context_frames neighbor frames onto the
+    # feature axis of X and A before the activation solve (the classic
+    # exemplar-VC extension the reference's single-frame dictionaries lack;
+    # B stays single-frame so the conversion output is unchanged in shape).
+    # 0 = reference semantics. MEASURED (BENCHMARKS.md §conversion quality,
+    # 2026-08-19): with beta_loss=kullback-leibler, context_frames=3 the
+    # DTW-aligned MCD vs the true target drops ~2.3 dB below the reference's
+    # frobenius/single-frame settings on every bundled utterance tested.
+    # Solve cost scales ~linearly with (2·context_frames+1).
+    context_frames: int = 0
 
 
 @dataclass(frozen=True)

@@ -70,13 +70,37 @@ def mcd_between_signals(a: np.ndarray, b: np.ndarray, cfg: Config) -> float:
     return float(mcd_aligned(ca, cb))
 
 
+def _stack_context(M: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, D) → (N, D·(2c+1)): edge-clamped ±c neighbor rows concatenated
+    along the feature axis — multi-frame exemplars. Row n of the output is
+    [M[n−c]; …; M[n]; …; M[n+c]], so activations must explain a whole local
+    trajectory, not one frame (measured −0.3…−0.5 dB MCD on top of the KL
+    win; BENCHMARKS.md §conversion quality). Exemplar rows are ordered along
+    the concatenated DTW paths, so neighbors are temporally adjacent source
+    frames except at the ~2c rows per utterance boundary."""
+    if c <= 0:
+        return M
+    N = M.shape[0]
+    base = jnp.arange(N)
+    return jnp.concatenate(
+        [M[jnp.clip(base + s, 0, N - 1)] for s in range(-c, c + 1)], axis=1)
+
+
 def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
     """Dispatch to the configured activation solver.
 
     nmf.solver: 'mu' (sklearn-parity multiplicative updates), 'mu_pallas'
     (same math, Pallas-fused kernels), 'cd'/'nnls' (FISTA NNLS at the
     reference cd budget of 200 iters), 'qr' (unconstrained least squares —
-    the reference's unfinished QRMF variant, 04_align_n_qrmf.py)."""
+    the reference's unfinished QRMF variant, 04_align_n_qrmf.py).
+
+    nmf.context_frames > 0 stacks neighbor frames onto BOTH X and A before
+    the solve; H keeps its (frames × K) shape, so conversion (H·B) is
+    untouched downstream."""
+    c = cfg.nmf.context_frames
+    if c > 0:
+        X = _stack_context(X, c)
+        A = _stack_context(A, c)
     solver = cfg.nmf.solver
     if solver == "auto":
         # bench_kernels.py (fresh inputs, device-side materialization): the

@@ -41,7 +41,10 @@ class StreamingConverter:
     ):
         # streaming's contract is chunked ≡ batch conversion (exact by NMF
         # row independence) — that requires the deterministic f32 solve, so
-        # the bf16 work_dtype default is overridden here
+        # the bf16 work_dtype default is overridden here. NOTE: with
+        # nmf.context_frames > 0 the solve stacks neighbor frames, so chunk
+        # edges clamp to the chunk (≤context_frames rows per edge differ
+        # from the batch solve); keep it 0 for the exactness contract.
         if cfg.nmf.work_dtype != "float32":
             from dataclasses import replace
 

@@ -83,6 +83,26 @@ def test_convert_utterance_stft(cfg, store, tmp_path):
     assert float(dev_db.mean()) < 0.3, float(dev_db.mean())
 
 
+def test_convert_kl_context_improves_mcd(cfg, store, tmp_path):
+    """Beyond-reference quality settings: KL beta-loss + multi-frame
+    exemplars (nmf.context_frames) must measurably beat the reference's
+    frobenius/single-frame settings on the same data (measured ≈ −1.0 to
+    −2.5 dB across the bundled utterances; BENCHMARKS.md)."""
+    from dataclasses import replace
+
+    src = os.path.join(DATA, "SF1", "100001.wav")
+    ref = os.path.join(DATA, "TF1", "100001.wav")
+    base = convert_utterance(cfg, store, DATA, src, nb_file=4,
+                             synth_iters=30, reference_wav=ref)
+    cfg_q = replace(cfg, nmf=replace(
+        cfg.nmf, beta_loss="kullback-leibler", context_frames=3))
+    qual = convert_utterance(cfg_q, store, DATA, src, nb_file=4,
+                             synth_iters=30, reference_wav=ref)
+    assert qual.mcd_vs_reference < base.mcd_vs_reference - 0.8, (
+        base.mcd_vs_reference, qual.mcd_vs_reference)
+    assert qual.mcd_vs_reference < 3.6, qual.mcd_vs_reference
+
+
 def test_metrics():
     import jax.numpy as jnp
 
