@@ -86,7 +86,8 @@ def _stack_context(M: jnp.ndarray, c: int) -> jnp.ndarray:
         [M[jnp.clip(base + s, 0, N - 1)] for s in range(-c, c + 1)], axis=1)
 
 
-def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
+def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
+                       x_prestacked: bool = False) -> NmfState:
     """Dispatch to the configured activation solver.
 
     nmf.solver: 'mu' (sklearn-parity multiplicative updates), 'mu_pallas'
@@ -96,10 +97,13 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
 
     nmf.context_frames > 0 stacks neighbor frames onto BOTH X and A before
     the solve; H keeps its (frames × K) shape, so conversion (H·B) is
-    untouched downstream."""
+    untouched downstream. ``x_prestacked=True`` means the caller already
+    context-stacked X (e.g. per utterance, so a concatenated batch does not
+    mix context across utterance boundaries — ``serve.convert_batch``)."""
     c = cfg.nmf.context_frames
     if c > 0:
-        X = _stack_context(X, c)
+        if not x_prestacked:
+            X = _stack_context(X, c)
         A = _stack_context(A, c)
     solver = cfg.nmf.solver
     if solver == "auto":

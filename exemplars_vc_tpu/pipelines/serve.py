@@ -93,10 +93,19 @@ class Converter:
                 phases.append(None)
                 mags.append(extract_stft_features(x, cfg))
         splits = np.cumsum([m.shape[0] for m in mags])[:-1]
+        # context stacking (nmf.context_frames) happens PER UTTERANCE here,
+        # so the concatenated solve cannot mix context across utterance
+        # boundaries — batch stays exactly ≡ per-utterance conversion
+        c = cfg.nmf.context_frames
+        if c > 0:
+            from exemplars_vc_tpu.pipelines.convert import _stack_context
+
+            mags = [_stack_context(jnp.asarray(m, jnp.float32), c)
+                    for m in mags]
         X_all = jnp.concatenate([jnp.asarray(m, jnp.float32) for m in mags], axis=0)
         with Timer("batch-convert") as t:
             A, B = self.dicts["stft"]
-            st = _solve_activations(X_all, A, cfg)
+            st = _solve_activations(X_all, A, cfg, x_prestacked=c > 0)
             Y_all = np.asarray(convert_features(st.H, B))
         results = []
         n_iter = int(st.n_iter)

@@ -275,3 +275,19 @@ def test_serve_convert_batch_matches_single(cfg, store, tmp_path):
     # frame independence: batched activation solve == per-utterance solves
     single = conv.convert(paths[0], synth_iters=10)
     np.testing.assert_allclose(batch[0].audio, single.audio, atol=2e-4)
+
+
+def test_serve_batch_exact_with_context_frames(cfg, store, tmp_path):
+    """context_frames stacks per utterance inside convert_batch, so batch
+    must stay exactly ≡ single-utterance conversion (no cross-utterance
+    context bleed at the concatenation boundary)."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    cfg_c = replace(cfg, nmf=replace(cfg.nmf, context_frames=2))
+    conv = Converter(cfg_c, store, DATA, nb_file=4)
+    paths = [os.path.join(DATA, "SF1", n) for n in ("100001.wav", "100002.wav")]
+    batch = conv.convert_batch(paths, synth_iters=10)
+    single = conv.convert(paths[1], synth_iters=10)
+    np.testing.assert_allclose(batch[1].audio, single.audio, atol=2e-4)
