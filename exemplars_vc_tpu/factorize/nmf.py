@@ -133,7 +133,23 @@ def nmf_activations(
         R = X.astype(jnp.float32) - jnp.dot(H, A, preferred_element_type=jnp.float32)
         return jnp.sqrt(jnp.sum(R * R))
 
-    err_init = frob_error(H0)
+    def kl_error(H):
+        # sklearn's convergence/reported error for beta_loss='kullback-
+        # leibler' is sqrt(2·D_KL(X ‖ HA)) (_beta_divergence with
+        # square_root=True, WH clipped at float32 eps, zero-X terms dropped)
+        # — NOT the Frobenius norm; the tol cadence must match it
+        Xf = X.astype(jnp.float32)
+        Yh = jnp.maximum(
+            jnp.dot(H, A, preferred_element_type=jnp.float32), 1.1920929e-07)
+        div = (jnp.sum(jnp.where(Xf > 0,
+                                 Xf * jnp.log(jnp.maximum(Xf, 1e-30) / Yh),
+                                 0.0))
+               - jnp.sum(Xf) + jnp.sum(Yh))
+        return jnp.sqrt(jnp.maximum(2.0 * div, 0.0))
+
+    error_fn = frob_error if beta_loss == "frobenius" else kl_error
+
+    err_init = error_fn(H0)
     n_blocks = max_iter // check_every
 
     def cond(carry):
@@ -143,7 +159,7 @@ def nmf_activations(
     def body(carry):
         H, block, prev_err, done = carry
         H = jax.lax.fori_loop(0, check_every, lambda _, h: step(h), H)
-        err = frob_error(H)
+        err = error_fn(H)
         converged = (tol > 0) & ((prev_err - err) < tol * err_init)
         return (H, block + 1, err, converged)
 
@@ -155,7 +171,7 @@ def nmf_activations(
     n_iter = blocks * check_every
     if rem:
         H = jax.lax.fori_loop(0, rem, lambda _, h: step(h), H)
-        err = frob_error(H)
+        err = error_fn(H)
         n_iter = n_iter + rem
     return NmfState(H.astype(out_dtype), n_iter, err)
 

@@ -64,7 +64,11 @@ def nnls_activations(X: jnp.ndarray, A: jnp.ndarray, n_iter: int = 200) -> jnp.n
 
     v0 = jnp.ones((D,), dtype) / jnp.sqrt(D)
     v, _ = jax.lax.scan(power, v0, None, length=30)
-    L = jnp.maximum(v @ (G @ v), 1e-12)
+    # the Rayleigh quotient after finite power iteration is a LOWER bound on
+    # σ_max, so 1/L could exceed the true FISTA step limit when the top
+    # singular values cluster (typical for exemplar dictionaries of similar
+    # frames); a 5% safety margin keeps the step inside the convergent range
+    L = 1.05 * jnp.maximum(v @ (G @ v), 1e-12)
 
     XAt = jnp.dot(X, A.T, preferred_element_type=dtype)
 

@@ -15,21 +15,31 @@ _FORMAT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
 
 
 def get_logger(name: str = "exemplars_vc_tpu", log_dir: str | None = None) -> logging.Logger:
+    """Process-wide logger; a stderr handler is attached once. ``log_dir``
+    attaches a timestamped FileHandler for that directory — also on an
+    already-configured logger (an early no-dir call must not silently
+    swallow a later run-dir request)."""
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
-    sh = logging.StreamHandler(sys.stderr)
-    sh.setFormatter(logging.Formatter(_FORMAT))
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler(sys.stderr)
+        sh.setFormatter(logging.Formatter(_FORMAT))
+        logger.addHandler(sh)
+        logger.propagate = False
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
-        fh = logging.FileHandler(
-            os.path.join(log_dir, time.strftime("%Y-%m-%d_%H-%M-%S.log"))
+        want = os.path.abspath(log_dir)
+        have = any(
+            isinstance(h, logging.FileHandler)
+            and os.path.dirname(getattr(h, "baseFilename", "")) == want
+            for h in logger.handlers
         )
-        fh.setFormatter(logging.Formatter(_FORMAT))
-        logger.addHandler(fh)
-    logger.propagate = False
+        if not have:
+            fh = logging.FileHandler(
+                os.path.join(log_dir, time.strftime("%Y-%m-%d_%H-%M-%S.log"))
+            )
+            fh.setFormatter(logging.Formatter(_FORMAT))
+            logger.addHandler(fh)
     return logger
 
 

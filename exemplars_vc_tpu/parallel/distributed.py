@@ -22,14 +22,26 @@ def initialize_multihost(
     env vars (JAX_COORDINATOR_ADDRESS etc.) or TPU-pod auto-detection.
 
     Returns a summary dict {process_index, process_count, local_devices,
-    global_devices}."""
-    already = jax.process_count() > 1
-    if not already and (coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    global_devices}.
+
+    NOTE: the idempotency probe must NOT touch jax.process_count() (or any
+    other device API) before initialize() — doing so initializes the XLA
+    backend and jax.distributed.initialize then raises unconditionally. The
+    probe reads jax.distributed's own client state instead, and an
+    'already initialized' RuntimeError is treated as success."""
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        already = getattr(
+            jax._src.distributed.global_state, "client", None) is not None
+        if not already:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            except RuntimeError as e:   # raced/duplicate bootstrap
+                if "already" not in str(e).lower():
+                    raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

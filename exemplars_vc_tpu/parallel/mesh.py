@@ -38,8 +38,14 @@ def make_mesh(
         data = n // dict_
     elif dict_ is None:
         dict_ = n // data
+    if data < 1 or dict_ < 1:
+        raise ValueError(
+            f"mesh {data}x{dict_} has a zero-sized axis "
+            f"(an axis larger than the {n} available devices floor-divides "
+            f"the other axis to 0)")
     if data * dict_ > n:
         raise ValueError(f"mesh {data}x{dict_} > {n} devices")
+    # non-divisible configs intentionally use the first data·dict_ devices
     arr = np.asarray(devices[: data * dict_]).reshape(data, dict_)
     return Mesh(arr, (DATA_AXIS, DICT_AXIS))
 

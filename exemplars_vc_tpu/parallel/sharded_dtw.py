@@ -8,11 +8,22 @@ processes)."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from exemplars_vc_tpu.align.dtw import DtwResult, dtw_batch
 from exemplars_vc_tpu.parallel.mesh import DATA_AXIS
+
+
+@lru_cache(maxsize=16)
+def _jitted_batch(mesh: Mesh, axis: str):
+    """One jitted executable per (mesh, axis) — a fresh jax.jit wrapper per
+    call would recompile every invocation through the remote tunnel."""
+    sharding = NamedSharding(mesh, P(axis))
+    out_sharding = DtwResult(*(sharding for _ in range(5)))
+    return jax.jit(dtw_batch, out_shardings=out_sharding)
 
 
 def sharded_dtw_batch(
@@ -23,10 +34,8 @@ def sharded_dtw_batch(
     n = feats_a.shape[0]
     if n % mesh.shape[axis]:
         raise ValueError(f"{n} pairs not divisible by {mesh.shape[axis]} shards")
-    sharding = NamedSharding(mesh, P(axis))
     args = [
         jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
         for a in (feats_a, feats_b, lens_a, lens_b)
     ]
-    out_sharding = DtwResult(*(sharding for _ in range(5)))
-    return jax.jit(dtw_batch, out_shardings=out_sharding)(*args)
+    return _jitted_batch(mesh, axis)(*args)

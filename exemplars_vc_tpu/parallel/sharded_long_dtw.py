@@ -17,9 +17,12 @@ the sequence-parallel design SURVEY §5.7 / BASELINE call for:
 
 Paths: each device keeps its tiles' int8 direction codes; the caller
 assembles them into the (Ta, Tb) grid and backtracks on host (exact, same
-codes as align.dtw). Memory for directions is O(Ta·Tb/devices) per device —
-for longer-than-memory runs call with ``keep_dirs=False`` to get distance
-only in O(R + Tb) memory per device.
+codes as align.dtw). Memory for directions is O(Ta·Tb/devices) per device.
+``keep_dirs=False`` skips the direction HOST transfer only — the device
+still materializes its (R, Tb) strip (plus the float cost matrix), so this
+is a bandwidth saver, not a low-memory mode; a true O(R + Tb)
+distance-only variant (dropping the direction outputs from the scan) is
+future work.
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from exemplars_vc_tpu.align.dtw import BIG, pairwise_sqdist
 from exemplars_vc_tpu.parallel.mesh import DATA_AXIS
+
+_JIT_CACHE: dict = {}
 
 
 def _tile_dp(C, top, corner, left, is_origin):
@@ -118,80 +123,88 @@ def sharded_dtw_long(
     nb = feat_b.shape[0] // Cb
     tb_pad = feat_b.shape[0]
 
-    def worker(a_loc, b_all):
-        rank = jax.lax.axis_index(axis)
-        C_loc = pairwise_sqdist(a_loc.astype(jnp.float32), b_all.astype(jnp.float32))
-        # mask padded columns
-        col_ok = jnp.arange(tb_pad) < tb
-        C_loc = jnp.where(col_ok[None, :], C_loc, BIG)
+    # one jitted executable per (mesh, shape-statics) — a fresh shard_map
+    # + jit per call would recompile every invocation (20-40 s per shape
+    # through the remote tunnel)
+    key = (mesh, axis, R, Cb, nb, tb, tb_pad)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def worker(a_loc, b_all):
+            rank = jax.lax.axis_index(axis)
+            C_loc = pairwise_sqdist(a_loc.astype(jnp.float32), b_all.astype(jnp.float32))
+            # mask padded columns
+            col_ok = jnp.arange(tb_pad) < tb
+            C_loc = jnp.where(col_ok[None, :], C_loc, BIG)
 
-        n_steps = n_dev + nb - 1
+            n_steps = n_dev + nb - 1
 
-        def superstep(carry, s):
-            top_buf, corner_buf, left_col, prev_bottom_last = carry
-            b_idx = s - rank
-            active = (b_idx >= 0) & (b_idx < nb)
-            bsafe = jnp.clip(b_idx, 0, nb - 1)
-            C_tile = jax.lax.dynamic_slice(C_loc, (0, bsafe * Cb), (R, Cb))
+            def superstep(carry, s):
+                top_buf, corner_buf, left_col, prev_bottom_last = carry
+                b_idx = s - rank
+                active = (b_idx >= 0) & (b_idx < nb)
+                bsafe = jnp.clip(b_idx, 0, nb - 1)
+                C_tile = jax.lax.dynamic_slice(C_loc, (0, bsafe * Cb), (R, Cb))
 
-            top = jnp.where(rank == 0, jnp.full((Cb,), BIG), top_buf)
-            corner = jnp.where(rank == 0, BIG, corner_buf)
-            left = jnp.where(b_idx == 0, jnp.full((R,), BIG), left_col)
-            is_origin = (rank == 0) & (b_idx == 0)
+                top = jnp.where(rank == 0, jnp.full((Cb,), BIG), top_buf)
+                corner = jnp.where(rank == 0, BIG, corner_buf)
+                left = jnp.where(b_idx == 0, jnp.full((R,), BIG), left_col)
+                is_origin = (rank == 0) & (b_idx == 0)
 
-            dirs, bottom, right = _tile_dp(C_tile, top, corner, left, is_origin)
+                dirs, bottom, right = _tile_dp(C_tile, top, corner, left, is_origin)
 
-            # pass my bottom row (and its left-neighbor corner value) to the
-            # next device; it becomes their top halo for column block b_idx
-            nxt_top = jax.lax.ppermute(
-                bottom, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+                # pass my bottom row (and its left-neighbor corner value) to the
+                # next device; it becomes their top halo for column block b_idx
+                nxt_top = jax.lax.ppermute(
+                    bottom, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+                )
+                nxt_corner = jax.lax.ppermute(
+                    # corner for their NEXT block = last value of this top halo…
+                    # but their corner for block b_idx is the bottom-left-1 value =
+                    # my previous block's bottom last element
+                    prev_bottom_last, axis,
+                    [(i, (i + 1) % n_dev) for i in range(n_dev)],
+                )
+                new_left = jnp.where(active, right, left_col)
+                new_prev_last = jnp.where(active, bottom[Cb - 1], prev_bottom_last)
+
+                final = jnp.where(
+                    active & (rank == n_dev - 1) & (b_idx == nb - 1),
+                    bottom[tb - 1 - (nb - 1) * Cb],
+                    0.0,
+                )
+                return (nxt_top, nxt_corner, new_left, new_prev_last), (dirs, bsafe, active, final)
+
+            init = (
+                jnp.full((Cb,), BIG), jnp.asarray(BIG, jnp.float32),
+                jnp.full((R,), BIG), jnp.asarray(BIG, jnp.float32),
             )
-            nxt_corner = jax.lax.ppermute(
-                # corner for their NEXT block = last value of this top halo…
-                # but their corner for block b_idx is the bottom-left-1 value =
-                # my previous block's bottom last element
-                prev_bottom_last, axis,
-                [(i, (i + 1) % n_dev) for i in range(n_dev)],
+            _, (all_dirs, blk_ids, actives, finals) = jax.lax.scan(
+                superstep, init, jnp.arange(n_steps)
             )
-            new_left = jnp.where(active, right, left_col)
-            new_prev_last = jnp.where(active, bottom[Cb - 1], prev_bottom_last)
+            distance = jax.lax.psum(jnp.sum(finals), axis)
 
-            final = jnp.where(
-                active & (rank == n_dev - 1) & (b_idx == nb - 1),
-                bottom[tb - 1 - (nb - 1) * Cb],
-                0.0,
-            )
-            return (nxt_top, nxt_corner, new_left, new_prev_last), (dirs, bsafe, active, final)
+            # scatter active tiles into this device's (R, tb_pad) direction strip
+            strip = jnp.zeros((R, tb_pad), jnp.int8)
 
-        init = (
-            jnp.full((Cb,), BIG), jnp.asarray(BIG, jnp.float32),
-            jnp.full((R,), BIG), jnp.asarray(BIG, jnp.float32),
+            def place(strip, t):
+                d, b, ok = t
+                updated = jax.lax.dynamic_update_slice(strip, d, (0, b * Cb))
+                return jnp.where(ok, updated, strip), None
+
+            strip, _ = jax.lax.scan(place, strip, (all_dirs, blk_ids, actives))
+            return distance, strip
+
+        shard_fn = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(), P(axis, None)),
+            check_vma=False,
         )
-        _, (all_dirs, blk_ids, actives, finals) = jax.lax.scan(
-            superstep, init, jnp.arange(n_steps)
-        )
-        distance = jax.lax.psum(jnp.sum(finals), axis)
-
-        # scatter active tiles into this device's (R, tb_pad) direction strip
-        strip = jnp.zeros((R, tb_pad), jnp.int8)
-
-        def place(strip, t):
-            d, b, ok = t
-            updated = jax.lax.dynamic_update_slice(strip, d, (0, b * Cb))
-            return jnp.where(ok, updated, strip), None
-
-        strip, _ = jax.lax.scan(place, strip, (all_dirs, blk_ids, actives))
-        return distance, strip
-
-    shard_fn = jax.shard_map(
-        worker, mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=(P(), P(axis, None)),
-        check_vma=False,
-    )
+        fn = jax.jit(shard_fn)
+        _JIT_CACHE[key] = fn
     a = jax.device_put(np.asarray(feat_a), NamedSharding(mesh, P(axis, None)))
     b = jax.device_put(np.asarray(feat_b), NamedSharding(mesh, P()))
-    distance, dirs = jax.jit(shard_fn)(a, b)
+    distance, dirs = fn(a, b)
     dirs_host = np.asarray(dirs)[:, :tb] if keep_dirs else None
     return float(distance), dirs_host
 

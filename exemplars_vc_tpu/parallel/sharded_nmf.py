@@ -18,7 +18,7 @@ stays in lock-step.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -28,39 +28,18 @@ from exemplars_vc_tpu.factorize.nmf import _EPS, NmfState
 from exemplars_vc_tpu.parallel.mesh import DICT_AXIS
 
 
-def sharded_nmf_activations(
-    X: jnp.ndarray,
-    A: jnp.ndarray,
-    mesh: Mesh,
-    tol: float = 1e-4,
-    max_iter: int = 150,
-    check_every: int = 10,
-    axis: str = DICT_AXIS,
-) -> NmfState:
-    """Frobenius-MU activations with A/H sharded on ``axis`` of ``mesh``.
+@lru_cache(maxsize=32)
+def _jitted_solver(mesh: Mesh, axis: str, tol: float, max_iter: int,
+                   check_every: int):
+    """Build the jitted shard_map solver ONCE per (mesh, solver config).
 
-    X: (F, D) replicated; A: (K, D) with K divisible by the axis size.
-    Returns H (F, K) sharded over ``axis`` (fetch with jax.device_get if a
-    host copy is needed)."""
-    F, D = X.shape
-    K = A.shape[0]
-    n_shards = mesh.shape[axis]
-    if K % n_shards:
-        raise ValueError(f"K={K} not divisible by {n_shards} dictionary shards")
-
-    # H0 average over the TRUE feature count, then lane-pad D to a multiple
-    # of 128: zero columns are inert in Num, the psum'd reconstruction, Den,
-    # and the error (see factorize/nmf.py — same algebra; the (F, D) psum
-    # grows 201→256 but stays tiny next to the two K-sized matmuls, which
-    # run ~8% faster on full lanes)
-    avg = jnp.sqrt(jnp.maximum(X.mean(), 0.0) / K)
-    if D % 128:
-        pad = 128 * ((D + 127) // 128) - D
-        X = jnp.pad(X, ((0, 0), (0, pad)))
-        A = jnp.pad(A, ((0, 0), (0, pad)))
+    A fresh jax.jit wrapper per call would retrace and recompile every
+    invocation (20-40 s per shape through this environment's remote-compile
+    tunnel); caching the callable lets jit's own shape cache work."""
 
     def solve(X, A, avg):
         # runs per-shard: A is (K_loc, D), H_loc (F, K_loc)
+        F = X.shape[0]
         K_loc = A.shape[0]
         H0 = jnp.full((F, K_loc), avg[0], dtype=X.dtype)
         Num = jnp.dot(X, A.T, preferred_element_type=X.dtype)
@@ -96,7 +75,15 @@ def sharded_nmf_activations(
         H, blocks, err, _ = jax.lax.while_loop(
             cond, body, (H0, jnp.int32(0), err_init, jnp.bool_(False))
         )
-        return NmfState(H, blocks * check_every, err)
+        # remainder iterations when max_iter % check_every != 0 — same
+        # semantics as the single-device solver (factorize/nmf.py)
+        rem = max_iter - n_blocks * check_every
+        n_iter = blocks * check_every
+        if rem:
+            H = jax.lax.fori_loop(0, rem, lambda _, h: step(h), H)
+            err = frob_error(H)
+            n_iter = n_iter + rem
+        return NmfState(H, n_iter, err)
 
     shard_fn = jax.shard_map(
         solve,
@@ -105,7 +92,42 @@ def sharded_nmf_activations(
         out_specs=NmfState(P(None, axis), P(), P()),
         check_vma=False,
     )
+    return jax.jit(shard_fn)
+
+
+def sharded_nmf_activations(
+    X: jnp.ndarray,
+    A: jnp.ndarray,
+    mesh: Mesh,
+    tol: float = 1e-4,
+    max_iter: int = 150,
+    check_every: int = 10,
+    axis: str = DICT_AXIS,
+) -> NmfState:
+    """Frobenius-MU activations with A/H sharded on ``axis`` of ``mesh``.
+
+    X: (F, D) replicated; A: (K, D) with K divisible by the axis size.
+    Returns H (F, K) sharded over ``axis`` (fetch with jax.device_get if a
+    host copy is needed)."""
+    F, D = X.shape
+    K = A.shape[0]
+    n_shards = mesh.shape[axis]
+    if K % n_shards:
+        raise ValueError(f"K={K} not divisible by {n_shards} dictionary shards")
+
+    # H0 average over the TRUE feature count, then lane-pad D to a multiple
+    # of 128: zero columns are inert in Num, the psum'd reconstruction, Den,
+    # and the error (see factorize/nmf.py — same algebra; the (F, D) psum
+    # grows 201→256 but stays tiny next to the two K-sized matmuls, which
+    # run ~8% faster on full lanes)
+    avg = jnp.sqrt(jnp.maximum(X.mean(), 0.0) / K)
+    if D % 128:
+        pad = 128 * ((D + 127) // 128) - D
+        X = jnp.pad(X, ((0, 0), (0, pad)))
+        A = jnp.pad(A, ((0, 0), (0, pad)))
+
+    fn = _jitted_solver(mesh, axis, float(tol), int(max_iter), int(check_every))
     X = jax.device_put(X, NamedSharding(mesh, P()))
     A = jax.device_put(A, NamedSharding(mesh, P(axis, None)))
     avg = jax.device_put(jnp.reshape(avg, (1,)), NamedSharding(mesh, P()))
-    return jax.jit(shard_fn)(X, A, avg)
+    return fn(X, A, avg)

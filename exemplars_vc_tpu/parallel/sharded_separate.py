@@ -59,14 +59,12 @@ def separate_batch(
     J, K = n_sources, n_components
     W0 = jax.random.normal(kw, (M, J, F, K)) ** 2
     H0 = jax.random.normal(kh, (M, J, K, N)) ** 2
-    a = (jax.random.normal(kr, (M, J, C))
-         + 1j * jax.random.normal(jax.random.fold_in(kr, 1), (M, J, C)))
-    aaH = a[..., :, None] * jnp.conj(a)[..., None, :]
-    tr = jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1))[..., None, None]
-    aaH = aaH / jnp.maximum(tr, 1e-10)
-    R0 = (0.8 * jnp.eye(C, dtype=jnp.complex64)[None, None]
-          + 0.2 * C * aaH.astype(jnp.complex64))
-    R0 = jnp.broadcast_to(R0[:, :, None], (M, J, F, C, C)).astype(jnp.complex64)
+    # per-mixture spatial inits through the SAME helper as the
+    # single-mixture path (separate.multichannel.random_spatial_init)
+    from exemplars_vc_tpu.separate.multichannel import random_spatial_init
+
+    R0 = jax.vmap(lambda k: random_spatial_init(k, J, F, C))(
+        jax.random.split(kr, M))
 
     if mesh is None:
         mesh = make_mesh()

@@ -50,6 +50,20 @@ def test_matches_sklearn_kl():
     np.testing.assert_allclose(H @ A, W_ref @ A, rtol=1e-2, atol=1e-2)
 
 
+def test_kl_tol_cadence_matches_sklearn():
+    """The KL convergence check uses sqrt(2·D_KL) like sklearn's
+    _beta_divergence — NOT the Frobenius norm — so the solver stops at the
+    same 10-iteration block and reports the same n_iter."""
+    X, A = _problem(seed=3)
+    for tol in (1e-3, 1e-4):
+        _, n_ref = sklearn_fixed_dict(X, A, beta_loss="kullback-leibler",
+                                      tol=tol, max_iter=200)
+        st = nmf_activations(jnp.asarray(X), jnp.asarray(A),
+                             beta_loss="kullback-leibler", tol=tol,
+                             max_iter=200)
+        assert abs(int(st.n_iter) - n_ref) <= 10, (tol, int(st.n_iter), n_ref)
+
+
 def test_l1_sparsity_sparsifies_activations():
     """λ‖H‖₁ must increase activation sparsity while keeping a usable fit;
     λ=0 must be bit-identical to the unpenalized solver."""

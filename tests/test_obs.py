@@ -12,6 +12,54 @@ def test_timer_measures():
     assert 0.04 < t.elapsed < 1.0
 
 
+def test_timer_sync_fences_device_work():
+    """sync=True must cover device EXECUTION of work dispatched inside the
+    block, not just its dispatch (effects_barrier never waited for pure
+    jitted work)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((1200, 1200))
+
+    def heavy(x):
+        for _ in range(60):
+            x = x @ x / 1200.0
+        return x
+
+    f = jax.jit(heavy)
+    f(x).block_until_ready()            # compile outside the timing
+    with Timer("t", sync=True) as t_sync:
+        f(x)
+    with Timer("t", sync=False) as t_async:
+        y = f(x)
+    y.block_until_ready()
+    # the fenced timer must see (most of) the execution the async one skips
+    assert t_sync.elapsed > 3 * max(t_async.elapsed, 1e-5), (
+        t_sync.elapsed, t_async.elapsed)
+
+
+def test_get_logger_attaches_file_handler_late(tmp_path):
+    """A log_dir passed AFTER the logger was already configured must still
+    attach the file handler (and only once per directory)."""
+    import logging
+
+    name = "evc_test_late_dir"
+    lg = get_logger(name)                       # configured, no file
+    n0 = len(lg.handlers)
+    lg2 = get_logger(name, log_dir=str(tmp_path))
+    assert lg2 is lg
+    files = [h for h in lg.handlers if isinstance(h, logging.FileHandler)]
+    assert len(files) == 1
+    get_logger(name, log_dir=str(tmp_path))     # idempotent per dir
+    files = [h for h in lg.handlers if isinstance(h, logging.FileHandler)]
+    assert len(files) == 1
+    lg.info("hello file")
+    files[0].flush()
+    logged = open(files[0].baseFilename).read()
+    assert "hello file" in logged
+    assert len(lg.handlers) == n0 + 1
+
+
 def test_new_run_dir_increments(tmp_path):
     a = new_run_dir(str(tmp_path))
     b = new_run_dir(str(tmp_path))

@@ -21,8 +21,45 @@ def test_mesh_shapes():
     assert mesh2.shape["data"] == 2 and mesh2.shape["dict"] == 4
     with pytest.raises(ValueError):
         make_mesh(data=3, dict_=3)  # 9 > 8 devices
+    # an axis larger than the device count must raise (floor-division used
+    # to produce a 0-sized axis and an empty mesh)
+    with pytest.raises(ValueError):
+        make_mesh(dict_=16)
+    with pytest.raises(ValueError):
+        make_mesh(data=16)
     # sub-meshes over a device subset are allowed
     assert make_mesh(data=2, dict_=1).devices.size == 2
+
+
+def test_sharded_solvers_reuse_jitted_executables():
+    """Repeated same-shape calls must reuse one jitted executable (a fresh
+    jit wrapper per call recompiles every invocation — 20-40 s/shape through
+    the TPU tunnel)."""
+    from exemplars_vc_tpu.parallel import sharded_nmf as sn
+
+    mesh = make_mesh(data=1, dict_=4)
+    fn1 = sn._jitted_solver(mesh, "dict", 1e-4, 30, 10)
+    fn2 = sn._jitted_solver(mesh, "dict", 1e-4, 30, 10)
+    assert fn1 is fn2
+
+    from exemplars_vc_tpu.parallel import sharded_dtw as sd
+
+    mesh2 = make_mesh(data=4, dict_=1)
+    assert sd._jitted_batch(mesh2, "data") is sd._jitted_batch(mesh2, "data")
+
+
+def test_sharded_nmf_remainder_iterations():
+    """max_iter not divisible by check_every runs the remainder, matching
+    the single-device solver's n_iter."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(np.abs(rng.standard_normal((12, 10))), jnp.float32)
+    A = jnp.asarray(np.abs(rng.standard_normal((16, 10))), jnp.float32)
+    mesh = make_mesh(data=1, dict_=4)
+    st_sh = sharded_nmf_activations(X, A, mesh, tol=0.0, max_iter=25)
+    st_1d = nmf_activations(X, A, tol=0.0, max_iter=25)
+    assert int(st_sh.n_iter) == int(st_1d.n_iter) == 25
+    np.testing.assert_allclose(np.asarray(st_sh.H), np.asarray(st_1d.H),
+                               rtol=2e-4, atol=1e-6)
 
 
 def test_shard_and_replicate():

@@ -50,18 +50,13 @@ def test_separate_batch_matches_single_mixture_path():
                                  key=key, mesh=mesh)
 
     # reproduce row-0 inits exactly as separate_batch builds them
+    from exemplars_vc_tpu.separate.multichannel import random_spatial_init
+
     M, F, N, C = X.shape
     kw, kh, kr = jax.random.split(key, 3)
     W0 = (jax.random.normal(kw, (M, 2, F, 2)) ** 2)[0]
     H0 = (jax.random.normal(kh, (M, 2, 2, N)) ** 2)[0]
-    a = (jax.random.normal(kr, (M, 2, C))
-         + 1j * jax.random.normal(jax.random.fold_in(kr, 1), (M, 2, C)))[0]
-    aaH = a[:, :, None] * jnp.conj(a)[:, None, :]
-    tr = jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1))[:, None, None]
-    aaH = aaH / jnp.maximum(tr, 1e-10)
-    R0 = (0.8 * jnp.eye(C, dtype=jnp.complex64)[None]
-          + 0.2 * C * aaH.astype(jnp.complex64))
-    R0 = jnp.broadcast_to(R0[:, None], (2, F, C, C)).astype(jnp.complex64)
+    R0 = random_spatial_init(jax.random.split(kr, M)[0], 2, F, C)
 
     single = fit_multichannel_nmf(X[0], n_sources=2, n_components=2, n_em=6,
                                   W_init=W0, H_init=H0, R_init=R0)
