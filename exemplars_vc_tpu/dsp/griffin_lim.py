@@ -72,8 +72,13 @@ def griffin_lim(
         ).astype(jnp.complex64)
 
     def project(angles):
-        """mag∘angles → signal → stft (one GL projection pair)."""
-        y = istft(mag * angles, n_fft=n_fft, hop_length=hop_length, length=length)
+        """mag∘angles → signal → stft (one GL projection pair).
+
+        The loop always synthesizes at the magnitude's NATURAL length —
+        applying a short requested ``length`` here would drop frames from
+        the re-analysis and crash the loop carry; ``length`` only shapes
+        the final output below."""
+        y = istft(mag * angles, n_fft=n_fft, hop_length=hop_length)
         s = stft(y, n_fft=n_fft, hop_length=hop_length)
         return s[: mag.shape[0]]
 

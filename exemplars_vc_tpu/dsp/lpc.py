@@ -65,9 +65,16 @@ def _cheb_eval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 def _lsp_single(a1: jnp.ndarray, order: int, n_grid: int, n_bisect: int) -> jnp.ndarray:
     """LSP frequencies for one monic LPC vector a1 (order+1,), a1[0] == 1."""
-    flip = a1[::-1]
-    p = a1 + flip  # P(z) = A(z) + z^{-(p+1)} A(z⁻¹), with z^{-(p+1)} folded in
-    q = a1 - flip
+    # P(z) = A(z) + z^{-(p+1)}·A(z⁻¹) has DEGREE p+1 (length p+2): append a
+    # zero to A and prepend one to the reversal. (Building these one degree
+    # short — a1 ± a1[::-1] — destroys the guaranteed roots at z = ∓1 and
+    # every LSP after the silent mis-deflation; caught by the value test
+    # against polynomial root-finding in tests/test_dsp.py.)
+    zero = jnp.zeros((1,), a1.dtype)
+    ext = jnp.concatenate([a1, zero])
+    flip = jnp.concatenate([zero, a1[::-1]])
+    p = ext + flip
+    q = ext - flip
 
     def deflate(c, root_sign):
         # synthetic division of Σ c_k z^{-k} by (1 − root_sign·z⁻¹)

@@ -64,7 +64,8 @@ def analyze(
             f0_floor=f0_floor, f0_ceil=f0_ceil,
         )
     if refine_f0:   # reference config f0_is_refined (config/config:43)
-        f0 = refine_f0_stonemask(x, f0, sr=sr, frame_period_ms=frame_period_ms)
+        f0 = refine_f0_stonemask(x, f0, sr=sr, frame_period_ms=frame_period_ms,
+                                 f0_floor=f0_floor, f0_ceil=f0_ceil)
     centers = jnp.arange(f0.shape[0]) * hop
     sp = cheaptrick(x, f0, centers, sr=sr, fft_size=fft_size, f0_floor=f0_floor)
     ap = d4c_aperiodicity(x, f0, centers, sr=sr, fft_size=fft_size)

@@ -66,11 +66,10 @@ def _n_bands(sr: int) -> int:
     return int(min(K_UPPER_LIMIT, sr / 2.0 - K_FREQ_INTERVAL) / K_FREQ_INTERVAL)
 
 
-def _nuttall(n: int) -> np.ndarray:
-    m = np.arange(n)
-    return (0.355768 - 0.487396 * np.cos(2 * np.pi * m / (n - 1))
-            + 0.144232 * np.cos(4 * np.pi * m / (n - 1))
-            - 0.012604 * np.cos(6 * np.pi * m / (n - 1)))
+# shared 4-term Nuttall window — one definition for the D4C band windows
+# and the DIO/Harvest filter banks (coefficient drift between copies would
+# silently decouple the paths)
+from exemplars_vc_tpu.world.dio import _nuttall_np as _nuttall  # noqa: E402
 
 
 def _love_train(x, f0, centers, sr):

@@ -22,6 +22,7 @@ WORLD's convention.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -256,9 +257,32 @@ def estimate_f0(
     return f0_out, f0_out > 0
 
 
-@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "fft_size",
-                                   "max_win", "n_harmonics"))
 def refine_f0_stonemask(
+    x: jnp.ndarray,
+    f0: jnp.ndarray,
+    sr: int = 16000,
+    frame_period_ms: float = 5.0,
+    f0_floor: float = 71.0,
+    f0_ceil: float = 800.0,
+    fft_size: int | None = None,
+    max_win: int | None = None,
+    n_harmonics: int = 6,
+):
+    # window capacity must cover the 3/f0_floor Blackman window AT THIS
+    # sample rate — a fixed 1024 silently truncated the window mid-support
+    # for sr ≳ 24 kHz (≈45% of the segment missing at 44.1 kHz, f0 < 130 Hz)
+    if max_win is None:
+        max_win = 2 * int(math.ceil(3.0 * sr / f0_floor / 2.0)) + 2
+    if fft_size is None:
+        fft_size = int(2 ** (math.ceil(math.log2(max_win)) + 1))
+    return _refine_f0_stonemask(x, f0, sr, frame_period_ms, f0_floor,
+                                f0_ceil, fft_size, max_win, n_harmonics)
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "f0_floor",
+                                   "f0_ceil", "fft_size", "max_win",
+                                   "n_harmonics"))
+def _refine_f0_stonemask(
     x: jnp.ndarray,
     f0: jnp.ndarray,
     sr: int = 16000,

@@ -135,3 +135,70 @@ def test_stft_on_reference_audio(sf1_wav):
     S = stft(jnp.asarray(x[: 2 * sr], dtype=jnp.float32), n_fft=400, hop_length=80)
     assert S.shape[1] == 201
     assert bool(jnp.isfinite(jnp.abs(S)).all())
+
+
+def test_lpc_matches_toeplitz_solve():
+    """lpc() solves the Yule-Walker normal equations — pin against a direct
+    Toeplitz solve (this module previously had zero direct coverage)."""
+    import scipy.linalg
+
+    from exemplars_vc_tpu.dsp.lpc import lpc
+
+    rng = np.random.default_rng(0)
+    x = np.convolve(rng.standard_normal(4000),
+                    [1.0, -1.2, 0.8, -0.3, 0.1], mode="same")
+    frame = (x[500:900] * np.hamming(400)).astype(np.float32)
+    order = 10
+    a = np.asarray(lpc(jnp.asarray(frame), order=order), np.float64)
+    # oracle: biased autocorrelation + Toeplitz solve
+    f = frame.astype(np.float64)
+    r = np.correlate(f, f, "full")[len(f) - 1 : len(f) + order]
+    a_ref = scipy.linalg.solve_toeplitz((r[:-1], r[:-1]), -r[1:])
+    np.testing.assert_allclose(a[1:], a_ref, rtol=1e-4, atol=1e-5)
+    # gain: sqrt of the residual power
+    g_ref = np.sqrt(r[0] + a_ref @ r[1:])
+    assert abs(a[0] - g_ref) / g_ref < 1e-3
+
+
+def test_lpc_to_lsp_matches_root_finding():
+    """LSP values pinned against numpy polynomial root-finding on the
+    correctly-built degree-(p+1) sum/difference polynomials (the regression
+    that motivated this test built them one degree short)."""
+    from exemplars_vc_tpu.dsp.lpc import lpc, lpc_to_lsp
+
+    rng = np.random.default_rng(1)
+    x = np.convolve(rng.standard_normal(4000),
+                    [1.0, -0.9, 0.6, -0.2], mode="same")
+    for start in (500, 1500, 2500):
+        frame = (x[start : start + 400] * np.hamming(400)).astype(np.float32)
+        a = np.asarray(lpc(jnp.asarray(frame), order=10), np.float64)
+        a1 = a.copy()
+        a1[0] = 1.0
+        p = np.concatenate([a1, [0.0]]) + np.concatenate([[0.0], a1[::-1]])
+        q = np.concatenate([a1, [0.0]]) - np.concatenate([[0.0], a1[::-1]])
+
+        def uc_roots(c):
+            r = np.roots(c)
+            r = r[np.abs(np.abs(r) - 1) < 1e-3]
+            w = np.angle(r)
+            w = w[(w > 1e-6) & (w < np.pi - 1e-6)]
+            return np.sort(np.unique(np.round(w, 6)))
+
+        truth = np.sort(np.concatenate([uc_roots(p), uc_roots(q)]))
+        got = np.asarray(lpc_to_lsp(jnp.asarray(a)), np.float64)
+        assert got.shape == truth.shape
+        np.testing.assert_allclose(got, truth, atol=1e-4)
+        assert (np.diff(got) > 0).all()          # strictly ascending
+
+
+def test_griffin_lim_short_length_is_valid():
+    """A requested length shorter than the magnitude's natural span must
+    return a trimmed signal, not crash the loop carry."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    mag = jnp.abs(stft(jnp.asarray(x), n_fft=400, hop_length=80))
+    y = griffin_lim(mag, n_fft=400, hop_length=80, n_iter=10, length=1000)
+    y = np.asarray(y)
+    assert y.shape == (1000,)
+    assert np.isfinite(y).all() and np.abs(y).max() > 0.1
