@@ -7,10 +7,14 @@ Replaces librosa/numpy STFT use in the reference:
   (``01_make_dict_parallel.py:126``)
 - the hand-rolled reconstruction stft/istft (``zz_audio_utilities.py:181-218``)
 
-Design: framing is one strided gather; the FFT is XLA's batched rfft (maps to
-the TPU FFT path); ISTFT does window-sum–normalized overlap-add via
-scatter-add, which is mathematically exact (NOLA) rather than the reference's
-unnormalized overlap-add.
+Design: framing is one strided gather; the FFT goes through
+``exemplars_vc_tpu.dsp.fft`` (matmul-DFT on this TPU backend, which has no
+XLA FFT); ISTFT does window-sum–normalized overlap-add (mathematically exact
+under NOLA, unlike the reference's unnormalized overlap-add), implemented as
+an r-tap transposed convolution over the frame axis (r = n_fft/hop
+contributing frames per sample) — conv-OLA compiles ~100× faster on this
+backend than the earlier scatter-add formulation and is numerically
+identical; see BENCHMARKS.md's compile table.
 """
 
 from __future__ import annotations

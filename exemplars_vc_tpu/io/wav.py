@@ -88,22 +88,30 @@ def read_wav(path: str, dtype=np.float64,
 
 
 def write_wav(path: str, x: np.ndarray, sample_rate: int) -> None:
-    """Write a mono float signal in [-1, 1] as 16-bit PCM.
+    """Write float audio in [-1, 1] as 16-bit PCM.
 
-    Mirrors ``zz_audio_utilities.py:295-314`` (int16 quantization with max
+    ``x`` is (T,) mono or (C, T) multichannel (channels interleaved in the
+    file, matching :func:`read_wav`'s ``mono=False`` layout). Mirrors
+    ``zz_audio_utilities.py:295-314`` (int16 quantization with max
     normalization only when the signal clips)."""
     x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim != 2:
+        raise ValueError(f"write_wav expects (T,) or (C, T), got {x.shape}")
+    n_ch = x.shape[0]
     peak = np.max(np.abs(x)) if x.size else 0.0
     if peak > 1.0:
         x = x / peak
     pcm = np.round(x * 32767.0).astype("<i2")
-    body = pcm.tobytes()
+    body = pcm.T.reshape(-1).tobytes()      # interleave channels
     with open(path, "wb") as f:
         f.write(b"RIFF")
         f.write(struct.pack("<I", 36 + len(body)))
         f.write(b"WAVE")
         f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+        f.write(struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate,
+                            sample_rate * 2 * n_ch, 2 * n_ch, 16))
         f.write(b"data")
         f.write(struct.pack("<I", len(body)))
         f.write(body)

@@ -30,8 +30,13 @@ def initialize_multihost(
     probe reads jax.distributed's own client state instead, and an
     'already initialized' RuntimeError is treated as success."""
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        already = getattr(
-            jax._src.distributed.global_state, "client", None) is not None
+        try:
+            # private-API probe — if a JAX upgrade moves it, fall through to
+            # initialize() and rely on the 'already initialized' handling
+            already = getattr(
+                jax._src.distributed.global_state, "client", None) is not None
+        except Exception:
+            already = False
         if not already:
             try:
                 jax.distributed.initialize(

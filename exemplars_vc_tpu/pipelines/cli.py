@@ -253,11 +253,14 @@ def cmd_separate_lead(args):
     base = os.path.splitext(os.path.basename(args.wav))[0]
     lead_p = os.path.join(args.out_dir, f"{base}_lead.wav")
     acc_p = os.path.join(args.out_dir, f"{base}_accomp.wav")
-    write_wav(lead_p, np.asarray(res.lead).mean(axis=0), sr)
-    write_wav(acc_p, np.asarray(res.accomp).mean(axis=0), sr)
+    # write the full separated spatial image (C channels, matching the
+    # reference's stereo outputs) — mono inputs come out (1, T) → mono file
+    write_wav(lead_p, np.asarray(res.lead), sr)
+    write_wav(acc_p, np.asarray(res.accomp), sr)
     f0 = np.asarray(res.f0)
     print(json.dumps({
         "lead": lead_p, "accomp": acc_p, "sr": sr,
+        "channels": int(np.asarray(res.lead).shape[0]),
         "voiced_frames": int((f0 > 0).sum()),
         "f0_median": float(np.median(f0[f0 > 0])) if (f0 > 0).any() else 0.0,
     }))

@@ -40,15 +40,15 @@ class StreamingConverter:
         synth_iters: int = 60,
     ):
         # streaming's contract is chunked ≡ batch conversion (exact by NMF
-        # row independence) — that requires the deterministic f32 solve, so
-        # the bf16 work_dtype default is overridden here. NOTE: with
-        # nmf.context_frames > 0 the solve stacks neighbor frames, so chunk
-        # edges clamp to the chunk (≤context_frames rows per edge differ
-        # from the batch solve); keep it 0 for the exactness contract.
-        if cfg.nmf.work_dtype != "float32":
+        # row independence) — that requires the deterministic f32 solve AND
+        # nmf.context_frames == 0 (context stacks neighbor frames, so chunk
+        # edges would clamp differently from the batch solve). Both are
+        # force-overridden here to keep the contract.
+        if cfg.nmf.work_dtype != "float32" or cfg.nmf.context_frames != 0:
             from dataclasses import replace
 
-            cfg = replace(cfg, nmf=replace(cfg.nmf, work_dtype="float32"))
+            cfg = replace(cfg, nmf=replace(
+                cfg.nmf, work_dtype="float32", context_frames=0))
         self.cfg = cfg
         self.A = jnp.asarray(A, jnp.float32)
         self.B = jnp.asarray(B, jnp.float32)

@@ -331,6 +331,11 @@ def separate_lead_multichannel(
     # sources start at the SIMM accompaniment's spatial estimate
     m = simm.model
     J_acc = max(int(n_acc_sources), 1)
+    if J_acc > n_accomp:
+        raise ValueError(
+            f"n_acc_sources={J_acc} exceeds n_accomp={n_accomp}: each "
+            "accompaniment source needs at least one SIMM NMF component "
+            "to seed from")
     k_per = max(n_accomp // J_acc, 1)
     W_seed = jnp.stack([
         m.WM[:, j * k_per : (j + 1) * k_per] for j in range(J_acc)])

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from exemplars_vc_tpu.dsp import fft as _fft
+from exemplars_vc_tpu.world.refine import flanagan_refine
 import numpy as np
 
 
@@ -40,8 +41,7 @@ def _extract_segments(x: jnp.ndarray, centers: jnp.ndarray, length: int) -> jnp.
     return xp[idx]
 
 
-@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len"))
-def _ncc_candidates(
+def _ncc_matrix(
     x: jnp.ndarray,
     sr: int,
     frame_period_ms: float,
@@ -49,8 +49,14 @@ def _ncc_candidates(
     f0_ceil: float,
     seg_len: int,
 ):
-    n_frames = x.shape[0] // int(round(sr * frame_period_ms / 1000.0)) + 1
+    """Shared NCC front-end for the DIO-role candidate pickers.
+
+    Frames the signal, computes the per-frame normalized autocorrelation via
+    one batched rFFT, masks lags outside [sr/f0_ceil, sr/f0_floor], and marks
+    local maxima. Returns (ncc (F,L) unmasked, nccm (F,L) masked to −1,
+    local_max (F,L) bool, total (F,1) frame energies)."""
     hop = int(round(sr * frame_period_ms / 1000.0))
+    n_frames = x.shape[0] // hop + 1
     centers = jnp.arange(n_frames) * hop
     seg = _extract_segments(x, centers, seg_len)          # (F, L)
     seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
@@ -77,16 +83,32 @@ def _ncc_candidates(
     lag_min = jnp.int32(jnp.floor(sr / f0_ceil))
     lag_max = jnp.int32(jnp.ceil(sr / f0_floor))
     valid = (tau >= lag_min) & (tau <= jnp.minimum(lag_max, seg_len - 2))
-    ncc_masked = jnp.where(valid[None, :], ncc, -1.0)
+    nccm = jnp.where(valid[None, :], ncc, -1.0)
+    local_max = (
+        (nccm >= jnp.pad(nccm, ((0, 0), (1, 0)))[:, :-1])
+        & (nccm >= jnp.pad(nccm, ((0, 0), (0, 1)))[:, 1:])
+    )
+    return ncc, nccm, local_max, total
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_period_ms", "seg_len"))
+def _ncc_candidates(
+    x: jnp.ndarray,
+    sr: int,
+    frame_period_ms: float,
+    f0_floor: float,
+    f0_ceil: float,
+    seg_len: int,
+):
+    ncc, ncc_masked, is_local_max, total = _ncc_matrix(
+        x, sr, frame_period_ms, f0_floor, f0_ceil, seg_len)
+    seg_len = ncc.shape[-1]
+    tau = jnp.arange(seg_len)
 
     # subharmonic disambiguation: a periodic signal has near-equal NCC peaks
     # at every multiple of the true period — take the SMALLEST-lag local
     # maximum within 10% of the global maximum, not the global argmax.
     global_max = jnp.max(ncc_masked, axis=-1, keepdims=True)
-    is_local_max = (
-        (ncc_masked >= jnp.pad(ncc_masked, ((0, 0), (1, 0)))[:, :-1])
-        & (ncc_masked >= jnp.pad(ncc_masked, ((0, 0), (0, 1)))[:, 1:])
-    )
     good = is_local_max & (ncc_masked >= 0.90 * global_max) & (global_max > 0)
     # prefer smallest tau among good candidates
     pref = jnp.where(good, (seg_len - tau)[None, :], -1)
@@ -126,35 +148,8 @@ def _ncc_candidate_lattice(
     n_cand: int = 5,
 ):
     """Top-``n_cand`` NCC local maxima per frame → (freqs (F,C), scores (F,C))."""
-    hop = int(round(sr * frame_period_ms / 1000.0))
-    n_frames = x.shape[0] // hop + 1
-    centers = jnp.arange(n_frames) * hop
-    seg = _extract_segments(x, centers, seg_len)
-    seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
-
-    n_fft = 2 * seg_len
-    magsq = _fft.rfft_magsq(seg, n=n_fft)
-    ac = _fft.irfft(magsq, n=n_fft)[:, :seg_len]
-    sq = seg * seg
-    csum = jnp.cumsum(sq, axis=-1)
-    total = csum[:, -1:]
-    tau = jnp.arange(seg_len)
-    e0 = jnp.take_along_axis(
-        jnp.pad(csum, ((0, 0), (1, 0))), (seg_len - tau)[None, :].repeat(seg.shape[0], 0), axis=-1
-    )
-    e1 = total - jnp.take_along_axis(
-        jnp.pad(csum, ((0, 0), (1, 0))), tau[None, :].repeat(seg.shape[0], 0), axis=-1
-    )
-    ncc = ac / jnp.sqrt(jnp.maximum(e0 * e1, 1e-12))
-
-    lag_min = jnp.int32(jnp.floor(sr / f0_ceil))
-    lag_max = jnp.int32(jnp.ceil(sr / f0_floor))
-    valid = (tau >= lag_min) & (tau <= jnp.minimum(lag_max, seg_len - 2))
-    nccm = jnp.where(valid[None, :], ncc, -1.0)
-    local_max = (
-        (nccm >= jnp.pad(nccm, ((0, 0), (1, 0)))[:, :-1])
-        & (nccm >= jnp.pad(nccm, ((0, 0), (0, 1)))[:, 1:])
-    )
+    _, nccm, local_max, total = _ncc_matrix(
+        x, sr, frame_period_ms, f0_floor, f0_ceil, seg_len)
     cand_scores, cand_lags = jax.lax.top_k(jnp.where(local_max, nccm, -1.0), n_cand)
     freqs = sr / jnp.maximum(cand_lags.astype(jnp.float32), 1.0)
     energy_gate = (total[:, 0] > 1e-6 * jnp.maximum(jnp.max(total), 1e-12))
@@ -297,52 +292,18 @@ def _refine_f0_stonemask(
     ``04_align_n_nmf.py:405-408``), batched — verified against the float64
     oracle in tests/oracles/world_dio.py.
 
-    Per voiced frame: a 3/f0-long Blackman window and its discrete
-    derivative window; the instantaneous frequency per bin is Flanagan's
-    ω_j + Im(conj(X)·X_diff)/|X|²·fs/2π; the refined f0 is the
-    amplitude-weighted mean of inst_freq(k·f0)/k over harmonics k ≤ 6.
-    WORLD picks a per-frame FFT size (2^(ceil(log2(3fs/f0))+1)); here one
-    static ``fft_size`` (the largest) serves every frame — a finer bin grid
-    for high-f0 frames, same estimator."""
+    The Flanagan instantaneous-frequency estimator itself lives in
+    ``world.refine.flanagan_refine`` (shared with Harvest's GetRefinedF0);
+    this wrapper applies StoneMask's gates: frames refine only where the
+    input f0 is voiced, and WORLD clamps the result at
+    kFloorF0StoneMask = 40 Hz."""
     hop = int(round(sr * frame_period_ms / 1000.0))
     n_frames = f0.shape[0]
     centers = jnp.arange(n_frames) * hop
     x = x.astype(jnp.float32)
     cf = jnp.clip(jnp.where(f0 > 0, f0, f0_floor), f0_floor, f0_ceil)
-
-    half = jnp.ceil(3.0 * sr / cf / 2.0)                       # (F,)
-    base = jnp.arange(max_win) - max_win // 2                  # (L,)
-    inside = jnp.abs(base)[None, :] <= half[:, None]
-    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
-    seg = x[idx]
-    n_win = 2.0 * half[:, None] + 1.0
-    phase = 2.0 * jnp.pi * base[None, :] / n_win
-    main = (0.42 + 0.5 * jnp.cos(phase) + 0.08 * jnp.cos(2.0 * phase)) * inside
-    # discrete derivative window with WORLD's edge handling (main = 0 outside)
-    diffw = -(jnp.pad(main, ((0, 0), (0, 1)))[:, 1:]
-              - jnp.pad(main, ((0, 0), (1, 0)))[:, :-1]) / 2.0
-
-    X = _fft.rfft(seg * main, n=fft_size)
-    Xd = _fft.rfft(seg * diffw, n=fft_size)
-    power = X.real * X.real + X.imag * X.imag
-    B = power.shape[-1]
-    freqs = jnp.arange(B) * (sr / fft_size)
-    inst = freqs[None, :] + (X.real * Xd.imag - X.imag * Xd.real) / jnp.maximum(
-        power, 1e-30
-    ) * (sr / (2.0 * jnp.pi))
-
-    num = jnp.zeros_like(cf)
-    den = jnp.zeros_like(cf)
-    for k in range(1, n_harmonics + 1):
-        j = jnp.floor(cf * k * fft_size / sr + 0.5).astype(jnp.int32)
-        ok = (k * cf < sr / 2.0) & (j < B)
-        j = jnp.clip(j, 0, B - 1)
-        amp = jnp.sqrt(jnp.take_along_axis(power, j[:, None], -1)[:, 0])
-        fk = jnp.take_along_axis(inst, j[:, None], -1)[:, 0]
-        amp = jnp.where(ok, amp, 0.0)
-        num = num + fk / k * amp
-        den = den + amp
-    refined = num / jnp.maximum(den, 1e-30)
+    refined, _score, _den = flanagan_refine(
+        x, cf, centers, sr, fft_size, max_win, n_harmonics)
     # WORLD gates the refinement at kFloorF0StoneMask = 40 Hz
     good = (refined >= 40.0) & (refined <= f0_ceil)
     return jnp.where((f0 > 0) & good, refined, 0.0)

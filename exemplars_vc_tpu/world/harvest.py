@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from exemplars_vc_tpu.dsp import fft as _fft
+from exemplars_vc_tpu.world.refine import flanagan_refine
 from exemplars_vc_tpu.world.dio import (
     _event_tracks,
     _extend_from_candidates,
@@ -116,45 +116,14 @@ def _refine_batch(x, cf, centers, sr, f0_floor, f0_ceil, max_win, fft_size,
                   n_harmonics=6):
     """Refine candidates cf (N,) at sample centers (N,) → (refined, score).
 
-    The StoneMask/Harvest GetRefinedF0 estimator, batched with one static
-    window capacity (see ``world.f0.refine_f0_stonemask``)."""
+    Harvest's GetRefinedF0 gates around the shared Flanagan estimator
+    (``world.refine.flanagan_refine``): zero candidates refine to zero, and
+    results must have usable harmonics (den > 0) and land in
+    [f0_floor, f0_ceil]."""
     valid = cf > 0.0
     cfs = jnp.clip(jnp.where(valid, cf, f0_floor), f0_floor, f0_ceil)
-    half = jnp.ceil(3.0 * sr / cfs / 2.0)                       # (N,)
-    base = jnp.arange(max_win) - max_win // 2                   # (L,)
-    inside = jnp.abs(base)[None, :] <= half[:, None]
-    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
-    seg = x[idx]
-    n_win = 2.0 * half[:, None] + 1.0
-    phase = 2.0 * jnp.pi * base[None, :] / n_win
-    main = (0.42 + 0.5 * jnp.cos(phase) + 0.08 * jnp.cos(2.0 * phase)) * inside
-    diffw = -(jnp.pad(main, ((0, 0), (0, 1)))[:, 1:]
-              - jnp.pad(main, ((0, 0), (1, 0)))[:, :-1]) / 2.0
-
-    X = _fft.rfft(seg * main, n=fft_size)
-    Xd = _fft.rfft(seg * diffw, n=fft_size)
-    power = X.real * X.real + X.imag * X.imag
-    B = power.shape[-1]
-    freqs = jnp.arange(B) * (sr / fft_size)
-    inst = freqs[None, :] + (X.real * Xd.imag - X.imag * Xd.real) / jnp.maximum(
-        power, 1e-30
-    ) * (sr / (2.0 * jnp.pi))
-
-    num = jnp.zeros_like(cfs)
-    den = jnp.zeros_like(cfs)
-    dev = jnp.zeros_like(cfs)
-    for k in range(1, n_harmonics + 1):
-        j = jnp.floor(cfs * k * fft_size / sr + 0.5).astype(jnp.int32)
-        ok = (k * cfs < sr / 2.0) & (j < B)
-        j = jnp.clip(j, 0, B - 1)
-        amp = jnp.sqrt(jnp.take_along_axis(power, j[:, None], -1)[:, 0])
-        fk = jnp.take_along_axis(inst, j[:, None], -1)[:, 0]
-        amp = jnp.where(ok, amp, 0.0)
-        num = num + fk / k * amp
-        den = den + amp
-        dev = dev + amp * jnp.abs(fk / k - cfs) / cfs
-    refined = num / jnp.maximum(den, 1e-30)
-    score = 1.0 / (dev / jnp.maximum(den, 1e-30) + 1e-12)
+    refined, score, den = flanagan_refine(
+        x, cfs, centers, sr, fft_size, max_win, n_harmonics)
     good = valid & (den > 0) & (refined >= f0_floor) & (refined <= f0_ceil)
     return jnp.where(good, refined, 0.0), jnp.where(good, score, 0.0)
 

@@ -47,3 +47,16 @@ def test_distance_only_mode():
     dist, dirs = sharded_dtw_long(a, b, mesh, col_block=32, keep_dirs=False)
     assert dirs is None
     assert abs(dist - float(ref.raw_distance)) < 1e-2
+
+
+def test_distance_only_padded_columns():
+    # tb not divisible by col_block + distance-only on-the-fly tiles must
+    # agree with the path mode exactly (same DP, same halo schedule)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((128, 5)).astype(np.float32)
+    b = rng.standard_normal((173, 5)).astype(np.float32)
+    mesh = make_mesh(data=4, dict_=1)
+    d_path, _ = sharded_dtw_long(a, b, mesh, col_block=48, keep_dirs=True)
+    d_only, dirs = sharded_dtw_long(a, b, mesh, col_block=48, keep_dirs=False)
+    assert dirs is None
+    assert d_only == d_path
