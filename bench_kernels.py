@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-kernel microbenchmarks on the current backend.
+"""Per-kernel microbenchmarks + roofline accounting on the current backend.
 
 Times each hot kernel with realistic shapes, forcing device completion via a
 scalar reduction (full-array device→host transfers run at ~20 MB/s through
@@ -7,8 +7,16 @@ this environment's TPU tunnel and would swamp compute; see CLAUDE.md).
 Each timing uses fresh inputs — the tunnel memoizes repeat executions on
 identical buffers.
 
-Usage: python bench_kernels.py            (whatever backend the env provides)
-Prints one JSON line: {kernel: {median_s, runs}}.
+Roofline: the device's achievable peaks are MEASURED, not quoted — a long
+matmul chain calibrates MXU FLOP/s (f32 and bf16) and a long elementwise
+chain calibrates HBM stream bandwidth. Each modeled kernel then reports
+achieved FLOP/s and bytes/s against ``min(peak_flops, AI × bw)`` — the
+roofline limit at its arithmetic intensity — and is classified compute- or
+HBM-bound. This answers BASELINE's "speed-of-light per chip" with numbers
+instead of seconds (VERDICT r2 item 3).
+
+Usage: python bench_kernels.py [--roofline-only]
+Prints one JSON line: {platform, kernels: {...}, roofline: {...}}.
 """
 
 from __future__ import annotations
@@ -24,7 +32,179 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Roofline calibration: measured peaks, not datasheet numbers
+# ---------------------------------------------------------------------------
+
+def _timed_call(fn, *args, n=3):
+    """Median wall time of fn(*args) with device materialization.
+
+    Materializes by VALUE (float(...)), not block_until_ready — the latter
+    returns early on lax-loop outputs through this TPU tunnel (the same
+    measurement artifact documented in BENCHMARKS.md §Kernels)."""
+    float(fn(*args))  # compile + settle
+    times = []
+    for i in range(n):
+        t0 = time.time()
+        float(fn(*args, salt=i + 1))
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
+def measure_peak_matmul(dtype_name: str, n: int, chain: int) -> float:
+    """Achievable matmul FLOP/s: a data-dependent chain of (n,n)@(n,n)
+    matmuls generated on device (fresh per run via the salt → the tunnel
+    cannot memoize). FLOPs = chain · 2n³."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+
+    @partial(jax.jit, static_argnames=("n", "chain"))
+    def run(key, salt, n, chain):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, salt))
+        a = jax.random.normal(k1, (n, n), dtype)
+        # pre-scale b once so the chain stays bounded (spectral radius ≲ 2);
+        # the body must be a BARE dot — an epilogue astype/scale pass costs
+        # as much HBM traffic as the matmul itself at these sizes and halves
+        # the measured "peak"
+        b = jax.random.normal(k2, (n, n), dtype) * (1.0 / np.sqrt(n))
+
+        def body(_, c):
+            return jnp.dot(c, b, preferred_element_type=dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, a)
+                       .astype(jnp.float32))
+
+    key = jax.random.PRNGKey(0)
+    t = _timed_call(lambda k, salt=0: run(k, salt, n, chain), key)
+    flops = chain * 2.0 * n ** 3
+    log(f"peak matmul {dtype_name} (n={n}, chain={chain}): "
+        f"{flops / t / 1e12:.1f} TFLOP/s")
+    return flops / t
+
+
+def measure_hbm_bandwidth(size: int, chain: int) -> float:
+    """Achievable HBM stream bandwidth: a chain of dependent elementwise
+    passes over a `size`-float f32 vector; each pass reads + writes the
+    vector once → bytes = chain · 2 · 4 · size."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("size", "chain"))
+    def run(key, salt, size, chain):
+        x = jax.random.normal(jax.random.fold_in(key, salt), (size,),
+                              jnp.float32)
+
+        def body(i, y):
+            # data-dependent scale stops XLA from collapsing the chain
+            return y * (1.0 + 1e-7 * (i + 1).astype(jnp.float32))
+
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, x))
+
+    key = jax.random.PRNGKey(1)
+    t = _timed_call(lambda k, salt=0: run(k, salt, size, chain), key)
+    gbytes = chain * 2.0 * 4.0 * size
+    log(f"HBM stream (size={size}, chain={chain}): {gbytes / t / 1e9:.0f} GB/s")
+    return gbytes / t
+
+
+def kernel_models() -> dict:
+    """Analytic FLOP/byte models for the modeled hot kernels (f32 storage).
+
+    NMF MU (frobenius, X (F,D̂), A (K,D̂), H (F,K); D̂ = D lane-padded to 256,
+    nmf.py:117-120): per iteration two matmuls (H·A then ·Aᵀ) = 4·F·K·D̂
+    FLOPs; error evals (init + every 10 iters) are one H·A each. HBM bytes
+    per iteration: A streamed twice (2·K·D̂·4) + H-sized traffic ≈ read H
+    (mm1) + epilogue read H/num + write H (4·F·K·4); error evals re-stream
+    H and A once each.
+
+    Griffin-Lim / STFT (convolutional DFT, dsp/stft.py): one transform =
+    2·frames·n_fft·(2·bins) FLOPs; GL does ISTFT+STFT per iteration + the
+    final ISTFT. Bytes: DFT weights (n_fft·2·bins·4) + frames·2·bins·4 per
+    transform — tiny tensors, latency/VPU-bound in practice.
+    """
+    F, Dp, n_fft, bins = 704, 256, 400, 201
+    frames_gl, frames_stft = 704, 1126
+    models = {}
+    for K in (7424, 100352):
+        it, errs = 50, 6
+        flops = (it * 4 + errs * 2) * F * K * Dp + 2 * F * K * Dp  # + numerator
+        bts = (it * (2 * K * Dp * 4 + 4 * F * K * 4)
+               + errs * (F * K * 4 + K * Dp * 4)
+               + (F * K * 4 + K * Dp * 4))
+        models[f"nmf_mu_xla_K{K}_50it"] = {"flops": flops, "bytes": bts}
+        models[f"nmf_mu_pallas_K{K}_50it"] = {"flops": flops, "bytes": bts}
+    t_fl = 2.0 * frames_gl * n_fft * 2 * bins
+    models["griffin_lim_300"] = {
+        "flops": (2 * 300 + 1) * t_fl,
+        "bytes": (2 * 300 + 1) * (n_fft * 2 * bins * 4
+                                  + 2 * frames_gl * 2 * bins * 4),
+    }
+    models["stft_1utt"] = {
+        "flops": 2.0 * frames_stft * n_fft * 2 * bins,
+        "bytes": n_fft * 2 * bins * 4 + 2 * frames_stft * 2 * bins * 4,
+    }
+    return models
+
+
+def build_roofline(results: dict, peak_f32: float, peak_bf16: float,
+                   hbm_bw: float) -> dict:
+    """Per-kernel achieved vs roofline-limit accounting."""
+    out = {
+        "calibration": {
+            "peak_matmul_f32_tflops": round(peak_f32 / 1e12, 2),
+            "peak_matmul_bf16_tflops": round(peak_bf16 / 1e12, 2),
+            "hbm_stream_gbps": round(hbm_bw / 1e9, 1),
+            "ridge_flop_per_byte_f32": round(peak_f32 / hbm_bw, 1),
+        },
+        "kernels": {},
+    }
+    for name, model in kernel_models().items():
+        if name not in results:
+            continue
+        t = results[name]["median_s"]
+        ai = model["flops"] / model["bytes"]
+        limit = min(peak_f32, ai * hbm_bw)
+        achieved = model["flops"] / t
+        out["kernels"][name] = {
+            "median_s": t,
+            "model_gflops": round(model["flops"] / 1e9, 1),
+            "model_gbytes": round(model["bytes"] / 1e9, 3),
+            "arith_intensity_flop_per_byte": round(ai, 1),
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "achieved_gbps": round(model["bytes"] / t / 1e9, 1),
+            "bound": "compute" if ai * hbm_bw > peak_f32 else "hbm",
+            "roofline_limit_tflops": round(limit / 1e12, 2),
+            "pct_of_roofline": round(100.0 * achieved / limit, 1),
+            "pct_of_matmul_peak_f32": round(100.0 * achieved / peak_f32, 1),
+        }
+    # DTW is wavefront-sequential (scan over anti-diagonals), not a
+    # throughput kernel: report DP-cell rate instead of a FLOP roofline
+    for name, cells in (("dtw_batch_8x896", 8 * 896 * 896),):
+        if name in results:
+            t = results[name]["median_s"]
+            out["kernels"][name] = {
+                "median_s": t,
+                "dp_cells": cells,
+                "cells_per_s": round(cells / t / 1e6, 1),
+                "bound": "latency (sequential anti-diagonal wavefront; "
+                         "2·T−1 dependent scan steps)",
+            }
+    return out
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--roofline-only", action="store_true",
+                    help="only calibrate peaks + time the modeled kernels")
+    ap.add_argument("--out", default=None, help="also write the JSON here")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -32,8 +212,10 @@ def main():
     from exemplars_vc_tpu.dsp import griffin_lim, mcep, mfcc, stft
     from exemplars_vc_tpu.factorize.nmf import nmf_activations
     from exemplars_vc_tpu.factorize.nmf_pallas import nmf_activations_pallas
+    from exemplars_vc_tpu.runtime import enable_persistent_compilation_cache
     from exemplars_vc_tpu.world import analyze, synthesize
 
+    enable_persistent_compilation_cache()
     rng = np.random.default_rng(0)
     platform = jax.devices()[0].platform
     log(f"platform: {platform}")
@@ -98,29 +280,47 @@ def main():
     results["stft_1utt"] = timed(
         "stft_1utt", lambda: (sig(),), lambda x: jnp.abs(stft(x)), lambda m: m
     )
-    results["mfcc_1utt"] = timed(
-        "mfcc_1utt", lambda: (sig(),), lambda x: mfcc(x), lambda m: m
-    )
-    results["mcep_1utt"] = timed(
-        "mcep_1utt", lambda: (sig(),), lambda x: mcep(x), lambda c: c
-    )
+    if not args.roofline_only:
+        results["mfcc_1utt"] = timed(
+            "mfcc_1utt", lambda: (sig(),), lambda x: mfcc(x), lambda m: m
+        )
+        results["mcep_1utt"] = timed(
+            "mcep_1utt", lambda: (sig(),), lambda x: mcep(x), lambda c: c
+        )
 
-    # WORLD analysis + synthesis, 2 s of audio
-    wsig = lambda: jnp.asarray(rng.standard_normal(32000) * 0.1, jnp.float32)
-    results["world_analyze_2s"] = timed(
-        "world_analyze_2s", lambda: (wsig(),), lambda x: analyze(x),
-        lambda f: f.sp,
-    )
-    feats = analyze(wsig())
-    results["world_synth_2s"] = timed(
-        "world_synth_2s",
-        lambda: (feats.f0 + jnp.asarray(rng.random(), jnp.float32) * 0,
-                 feats.sp, feats.ap),
-        lambda f0, sp, ap: synthesize(f0, sp, ap),
-        lambda y: y,
-    )
+        # WORLD analysis + synthesis, 2 s of audio
+        wsig = lambda: jnp.asarray(rng.standard_normal(32000) * 0.1, jnp.float32)
+        results["world_analyze_2s"] = timed(
+            "world_analyze_2s", lambda: (wsig(),), lambda x: analyze(x),
+            lambda f: f.sp,
+        )
+        feats = analyze(wsig())
+        results["world_synth_2s"] = timed(
+            "world_synth_2s",
+            lambda: (feats.f0 + jnp.asarray(rng.random(), jnp.float32) * 0,
+                     feats.sp, feats.ap),
+            lambda f0, sp, ap: synthesize(f0, sp, ap),
+            lambda y: y,
+        )
 
-    print(json.dumps({"platform": platform, "kernels": results}), flush=True)
+    # ---- roofline: measured peaks + achieved-vs-limit per modeled kernel --
+    big = platform != "cpu"
+    peak_f32 = measure_peak_matmul("float32", n=4096 if big else 1024,
+                                   chain=16 if big else 4)
+    peak_bf16 = measure_peak_matmul("bfloat16", n=4096 if big else 1024,
+                                    chain=16 if big else 4)
+    hbm_bw = measure_hbm_bandwidth(size=2 ** 27 if big else 2 ** 23,
+                                   chain=16 if big else 4)
+    roofline = build_roofline(results, peak_f32, peak_bf16, hbm_bw)
+    for k, v in roofline["kernels"].items():
+        log(f"roofline {k}: {v}")
+
+    payload = json.dumps({"platform": platform, "kernels": results,
+                          "roofline": roofline})
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(payload + "\n")
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,14 @@ class WorldConfig:
     # conv-dicts stage actually calls pw.harvest, so pick it for parity
     # experiments.
     f0_method: str = "dio"
+    # How the WORLD-path conversion maps source f0 → target f0.
+    # "logmv" (default, beyond reference): log-domain mean-variance transform
+    # using voiced-frame statistics of the aligned exemplar dictionaries —
+    # the standard VC Gaussian-prosody mapping. "nmf": reference parity —
+    # decompose f0 over the exemplar dictionary like sp/ap
+    # (04_align_n_nmf.py:218-333 runs _factorize on f0 too), a known-poor
+    # f0 converter (measured in BENCHMARKS.md §held-out quality).
+    f0_transform: str = "logmv"
 
 
 @dataclass(frozen=True)

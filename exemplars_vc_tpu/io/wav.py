@@ -60,9 +60,14 @@ def read_wav(path: str, dtype=np.float64,
         raw = raw[: (len(raw) // frame_bytes) * frame_bytes]
 
     if audio_format == 3:  # IEEE float
-        if bits != 32:
+        if bits == 32:
+            x = np.frombuffer(raw, dtype=np.float32).astype(dtype)
+        elif bits == 64:
+            # the reference's committed results/*.wav are float64 (scipy
+            # wavfile.write of a float64 array)
+            x = np.frombuffer(raw, dtype=np.float64).astype(dtype)
+        else:
             raise ValueError(f"{path}: unsupported float bit depth {bits}")
-        x = np.frombuffer(raw, dtype=np.float32).astype(dtype)
     elif audio_format == 1:
         pcm_dtype = _PCM_DTYPES.get(bits)
         if pcm_dtype is None:

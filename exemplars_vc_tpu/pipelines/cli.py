@@ -38,6 +38,9 @@ def _setup(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from exemplars_vc_tpu.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from exemplars_vc_tpu.config import load_config
     from exemplars_vc_tpu.io import ArtifactStore
 
@@ -174,6 +177,32 @@ def cmd_warp_train(args):
     metrics = train_warping_net(cfg, store, args.data, nb_file=args.nb_file,
                                 run_root=args.runs)
     print(json.dumps(metrics))
+
+
+def cmd_eval_heldout(args):
+    from exemplars_vc_tpu.pipelines.evaluate import (
+        evaluate_heldout,
+        no_conversion_baseline,
+    )
+
+    cfg, store = _setup(args)
+    scores = evaluate_heldout(
+        cfg, store, args.data, nb_file=args.nb_file,
+        configs=args.configs.split(",") if args.configs else None,
+        synth_iters=args.synth_iters,
+    )
+    print(json.dumps({
+        "utterance": "100162 (held out of the dictionary-build set)",
+        "no_conversion_mcd_db": round(no_conversion_baseline(cfg, args.data), 3),
+        "scores": {
+            name: {
+                "mcd_db": round(s.mcd, 3),
+                **{f"mcd_vs_{k}_db": round(v, 3)
+                   for k, v in s.vs_reference_outputs.items()},
+            }
+            for name, s in scores.items()
+        },
+    }))
 
 
 def cmd_separate(args):
@@ -313,6 +342,15 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--synth-iters", type=int, default=None)
     p.set_defaults(fn=cmd_convert_dir)
+
+    p = sub.add_parser("eval-heldout", help="held-out quality evaluation on the "
+                       "reference's own 100162 pair (04_align_n_nmf.py:439-440)")
+    _add_common(p)
+    p.add_argument("--configs", default=None,
+                   help="comma list from {stft,world}_{parity,quality} (default all)")
+    p.add_argument("--synth-iters", type=int, default=None,
+                   help="Griffin-Lim iterations (STFT path)")
+    p.set_defaults(fn=cmd_eval_heldout)
 
     p = sub.add_parser("separate", help="multichannel NMF source separation "
                                         "(FASST-class, separate/)")

@@ -136,6 +136,33 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
 
 
 @jax.jit
+def convert_f0_logmv(f0: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Source f0 (T, 1) → target f0 via a log-domain mean-variance transform.
+
+    lf0_tar = (lf0_src − μ_src)·(σ_tar/σ_src) + μ_tar, voiced frames only
+    (unvoiced stays exactly 0). μ/σ come from the voiced rows of the aligned
+    exemplar f0 dictionaries A (source) / B (target) — the same data the
+    reference feeds to its NMF-on-f0 decomposition (04_align_n_nmf.py:230-246),
+    used here for the standard VC prosody mapping instead. Padded dictionary
+    rows are zeros, so the voiced mask excludes them for free."""
+
+    def _stats(M):
+        v = M[:, 0]
+        mask = v > 0
+        n = jnp.maximum(mask.sum(), 1)
+        lf = jnp.where(mask, jnp.log(jnp.maximum(v, 1e-6)), 0.0)
+        mu = lf.sum() / n
+        var = jnp.where(mask, (lf - mu) ** 2, 0.0).sum() / n
+        return mu, jnp.sqrt(jnp.maximum(var, 1e-12))
+
+    mu_s, sd_s = _stats(A)
+    mu_t, sd_t = _stats(B)
+    lf0 = jnp.log(jnp.maximum(f0, 1e-6))
+    out = jnp.exp((lf0 - mu_s) * (sd_t / sd_s) + mu_t)
+    return jnp.where(f0 > 0, out, 0.0)
+
+
+@jax.jit
 def _pack_audio_stats(audio, *scalars):
     """Audio + solver scalars in one vector → ONE device→host transfer."""
     return jnp.concatenate([audio.astype(jnp.float32), jnp.stack(scalars)])
@@ -178,12 +205,25 @@ def convert_utterance(
     use_residual: bool | None = None,
     synth_iters: int | None = None,
     reference_wav: str | None = None,
+    sync_stages: bool = False,
 ) -> ConversionResult:
+    """Convert one utterance (see module docstring).
+
+    ``sync_stages=True`` fences the device inside every Timer block so the
+    reported per-stage timings are true device times. The default (False) is
+    the production behavior: stages record dispatch time only and the NMF
+    work deliberately drains inside the synthesis block (each device→host
+    sync costs ~30-45 ms on this backend), so the async split labels the
+    solver stage ``nmf_dispatch`` and synthesis ``synthesis+nmf_drain``."""
+    import jax as _jax
+
     log = get_logger()
     timings: dict[str, float] = {}
+    fence = _jax.block_until_ready if sync_stages else (lambda x: x)
 
     with Timer("dicts") as t:
         dicts, kind = _aligned_dicts(cfg, store, data_path, nb_file)
+        fence(dicts)
     timings["dicts"] = t.elapsed
 
     x, sr = read_wav(wav_path)
@@ -212,6 +252,7 @@ def convert_utterance(
             from exemplars_vc_tpu.pipelines.conv_dicts import extract_world_features
 
             feats_in = extract_world_features(x, cfg)
+        fence(feats_in)
     timings["features"] = t.elapsed
 
     converted_dev: dict[str, jnp.ndarray] = {}
@@ -222,6 +263,11 @@ def convert_utterance(
             Xj = jnp.asarray(X, jnp.float32)
             Aj = jnp.asarray(A, jnp.float32)
             Bj = jnp.asarray(B, jnp.float32)
+            if name == "f0" and cfg.world.f0_transform == "logmv":
+                # beyond-reference default: prosody via log-MV statistics,
+                # no NMF decomposition of the f0 track (config.WorldConfig)
+                converted_dev[name] = convert_f0_logmv(Xj, Aj, Bj)
+                continue
             st = _solve_activations(Xj, Aj, cfg)
             R = (
                 residual_compensation(Xj, st.H, Aj, mode=cfg.nmf.residual_mode)
@@ -232,7 +278,8 @@ def convert_utterance(
             # costs ~30-45 ms on this backend — overlap it with synthesis)
             converted_dev[name] = convert_features(st.H, Bj, R)
             states[name] = st
-    timings["nmf+convert"] = t.elapsed
+        fence(converted_dev)
+    timings["nmf_solve" if sync_stages else "nmf_dispatch"] = t.elapsed
 
     with Timer("synthesis") as t:
         if kind == "stft":
@@ -258,12 +305,13 @@ def convert_utterance(
         packed = np.asarray(_pack_audio_stats(audio_dev, *scalars))
         audio = packed[: audio_dev.shape[0]]
         stats = packed[audio_dev.shape[0]:].reshape(-1, 2)
-    timings["synthesis"] = t.elapsed
+    timings["synthesis" if sync_stages else "synthesis+nmf_drain"] = t.elapsed
 
     n_iter_total, err_total = int(stats[:, 0].sum()), float(stats[:, 1].sum())
-    for (name, X), (it, err) in zip(feats_in.items(), stats):
+    for name, (it, err) in zip(states, stats):
         log.info("NMF[%s]: F=%d K=%d iters=%d err=%.3g", name,
-                 X.shape[0], dicts[name][0].shape[0], int(it), float(err))
+                 feats_in[name].shape[0], dicts[name][0].shape[0],
+                 int(it), float(err))
     # device arrays in the result: converting here would serialize another
     # multi-MB transfer into every conversion; np.asarray them if needed
     converted = converted_dev

@@ -1,0 +1,130 @@
+"""Held-out evaluation — the reference's own protocol.
+
+The reference's conversion eval is hard-coded to utterance **100162**
+(``04_align_n_nmf.py:439-440``, ``05_conversion.py:85-86``), which is *not*
+in the dictionary-build set; the source/target pair is committed at
+``wav/SF1_100162.wav`` / ``wav/TF1_100162.wav`` (and ``wav/TM3_100162.wav``
+for the full-corpus target). Converting a dictionary utterance is a
+train-on-test measurement — the NMF can partially reconstruct the input from
+its own frames — so every quality number of record comes from THIS module:
+convert the held-out source with the bundled dictionaries and score
+DTW-aligned MCD against the true held-out target.
+
+The reference also ships its actual end-to-end outputs
+(``results/demo_1_norefined_world.wav``, ``results/org_world.wav``); we
+report distances against those too, with the caveat that they were built
+from the unbundled 20-file ``Full_data`` corpus (and the reference's config
+targets TM3), so an exact match is impossible — the numbers are anchors,
+not goals.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+from exemplars_vc_tpu.config import Config
+from exemplars_vc_tpu.io import ArtifactStore, read_wav
+from exemplars_vc_tpu.obs import get_logger
+from exemplars_vc_tpu.pipelines.convert import (
+    ConversionResult,
+    convert_utterance,
+    mcd_between_signals,
+)
+
+HELD_OUT_UTT = "100162"
+
+
+def heldout_pair(data_path: str, src: str = "SF1",
+                 tar: str = "TF1") -> tuple[str, str]:
+    """Paths of the committed held-out source/target wavs.
+
+    They live in the reference's ``wav/`` directory, a sibling of the
+    ``data/`` root this framework consumes (``/root/reference/wav``)."""
+    base = os.path.join(os.path.dirname(os.path.abspath(data_path)), "wav")
+    s = os.path.join(base, f"{src}_{HELD_OUT_UTT}.wav")
+    t = os.path.join(base, f"{tar}_{HELD_OUT_UTT}.wav")
+    return s, t
+
+
+def reference_artifacts(data_path: str) -> dict[str, str]:
+    """The reference's committed end-to-end conversion outputs (float64 wavs)."""
+    base = os.path.join(os.path.dirname(os.path.abspath(data_path)), "results")
+    out = {}
+    for name, fn in (("ref_demo_world", "demo_1_norefined_world.wav"),
+                     ("ref_org_world", "org_world.wav")):
+        p = os.path.join(base, fn)
+        if os.path.isfile(p):
+            out[name] = p
+    return out
+
+
+@dataclass
+class HeldOutScore:
+    name: str                      # config label, e.g. "stft_quality"
+    mcd: float                     # DTW-aligned MCD vs the held-out target (dB)
+    vs_reference_outputs: dict[str, float]   # MCD vs committed ref artifacts
+    result: ConversionResult
+
+
+def _configs(cfg: Config) -> dict[str, Config]:
+    """The four canonical evaluation configs: each synthesis path × the
+    reference-parity solver settings and the beyond-reference quality
+    settings (KL β-loss + multi-frame exemplars, BENCHMARKS.md)."""
+    stft = replace(cfg, data=replace(cfg.data, use_stft=True))
+    world = replace(cfg, data=replace(cfg.data, use_stft=False))
+    quality = lambda c: replace(c, nmf=replace(
+        c.nmf, beta_loss="kullback-leibler", context_frames=3))
+    return {
+        "stft_parity": stft,
+        "stft_quality": quality(stft),
+        "world_parity": world,
+        "world_quality": quality(world),
+    }
+
+
+def evaluate_heldout(
+    cfg: Config,
+    store: ArtifactStore,
+    data_path: str,
+    nb_file: int | None = None,
+    configs: list[str] | None = None,
+    synth_iters: int | None = None,
+    compare_reference_outputs: bool = True,
+) -> dict[str, HeldOutScore]:
+    """Convert the held-out 100162 source with the bundled dictionaries and
+    score each requested config. Returns {config_name: HeldOutScore}."""
+    log = get_logger()
+    src_wav, tar_wav = heldout_pair(data_path, cfg.data.src, cfg.data.tar)
+    if not (os.path.isfile(src_wav) and os.path.isfile(tar_wav)):
+        raise FileNotFoundError(
+            f"held-out pair not found next to {data_path}: {src_wav}, {tar_wav}")
+    refs = reference_artifacts(data_path) if compare_reference_outputs else {}
+    ref_sigs = {k: read_wav(p)[0] for k, p in refs.items()}
+
+    all_cfgs = _configs(cfg)
+    names = configs if configs is not None else list(all_cfgs)
+    scores: dict[str, HeldOutScore] = {}
+    for name in names:
+        c = all_cfgs[name]
+        res = convert_utterance(c, store, data_path, src_wav,
+                                nb_file=nb_file, synth_iters=synth_iters,
+                                reference_wav=tar_wav)
+        vs_ref = {k: float(mcd_between_signals(res.audio, sig, c))
+                  for k, sig in ref_sigs.items()}
+        scores[name] = HeldOutScore(name=name, mcd=float(res.mcd_vs_reference),
+                                    vs_reference_outputs=vs_ref, result=res)
+        log.info("held-out %s: MCD %.2f dB vs target%s", name, scores[name].mcd,
+                 "".join(f", {k}={v:.2f}" for k, v in vs_ref.items()))
+    return scores
+
+
+def no_conversion_baseline(cfg: Config, data_path: str) -> float:
+    """MCD of the UNCONVERTED held-out source vs the held-out target — the
+    do-nothing anchor every conversion config must beat."""
+    src_wav, tar_wav = heldout_pair(data_path, cfg.data.src, cfg.data.tar)
+    a, _ = read_wav(src_wav)
+    b, _ = read_wav(tar_wav)
+    return float(mcd_between_signals(a, b, cfg))

@@ -153,6 +153,11 @@ class Converter:
             for name, X in feats_in.items():
                 A, B = self.dicts[name]
                 Xj = jnp.asarray(X, jnp.float32)
+                if name == "f0" and cfg.world.f0_transform == "logmv":
+                    from exemplars_vc_tpu.pipelines.convert import convert_f0_logmv
+
+                    converted[name] = convert_f0_logmv(Xj, A, B)
+                    continue
                 st = _solve_activations(Xj, A, cfg)
                 R = (residual_compensation(Xj, st.H, A, mode=cfg.nmf.residual_mode)
                      if self.kind == "world" else None)
