@@ -102,6 +102,14 @@ class WorldConfig:
     # (04_align_n_nmf.py:218-333 runs _factorize on f0 too), a known-poor
     # f0 converter (measured in BENCHMARKS.md §held-out quality).
     f0_transform: str = "logmv"
+    # Domain of the sp NMF decomposition on the WORLD path. "power":
+    # reference parity — NMF directly on CheapTrick's power envelope
+    # (04_align_n_nmf.py factorizes sp as extracted). "magnitude": solve on
+    # sqrt(sp) and square the conversion — power spectra span twice the
+    # dynamic range, so power-domain NMF over-weights spectral peaks; the
+    # magnitude domain fits the envelope more evenly (measured on the
+    # held-out pair, BENCHMARKS.md §held-out quality).
+    sp_domain: str = "power"
 
 
 @dataclass(frozen=True)
@@ -127,6 +135,14 @@ class NmfConfig:
     # "reference": r = log(A·H - X) with NaN->0, reproduced from
     #   04_align_n_nmf.py:292-299,367-373 (documented quirk, SURVEY §7.3.6)
     residual_mode: str = "correct"
+    # Whether the WORLD path applies residual compensation at all:
+    # "auto"/"on" = reference parity (the reference composes R into every
+    # WORLD conversion). "off" is the measured-better choice for HELD-OUT
+    # input: R = X/(H·A) copies source spectral detail, which helps when the
+    # input is in the dictionary and pulls the output back toward the source
+    # speaker when it is not (held-out 100162: 8.43 → 7.63 dB MCD with
+    # magnitude-domain sp; BENCHMARKS.md §held-out quality).
+    use_residual: str = "auto"
     # "float32" (default: exact sklearn-trajectory mode) | "bfloat16"
     # (halves MU-matmul HBM traffic, f32 accumulation, <0.01 dB MCD impact —
     # but MEASURED SLOWER on TPU v5e at production sizes: the astype

@@ -229,8 +229,10 @@ def convert_utterance(
     x, sr = read_wav(wav_path)
     m = cfg.mcep
     if use_residual is None:
-        # the reference only applies residual compensation on the WORLD path
-        use_residual = kind == "world"
+        # the reference only applies residual compensation on the WORLD path;
+        # nmf.use_residual="off" disables it there too (measured better for
+        # held-out input — config.NmfConfig.use_residual)
+        use_residual = kind == "world" and cfg.nmf.use_residual != "off"
 
     src_phase = None
     with Timer("features") as t:
@@ -268,6 +270,11 @@ def convert_utterance(
                 # no NMF decomposition of the f0 track (config.WorldConfig)
                 converted_dev[name] = convert_f0_logmv(Xj, Aj, Bj)
                 continue
+            sp_mag = name == "sp" and cfg.world.sp_domain == "magnitude"
+            if sp_mag:
+                # solve the sp decomposition on sqrt(power) and square the
+                # conversion back (config.WorldConfig.sp_domain)
+                Xj, Aj, Bj = jnp.sqrt(Xj), jnp.sqrt(Aj), jnp.sqrt(Bj)
             st = _solve_activations(Xj, Aj, cfg)
             R = (
                 residual_compensation(Xj, st.H, Aj, mode=cfg.nmf.residual_mode)
@@ -276,7 +283,8 @@ def convert_utterance(
             # stays on device: synthesis consumes it directly; scalar stats
             # sync AFTER the synthesis dispatch (each device→host round trip
             # costs ~30-45 ms on this backend — overlap it with synthesis)
-            converted_dev[name] = convert_features(st.H, Bj, R)
+            Y = convert_features(st.H, Bj, R)
+            converted_dev[name] = Y * Y if sp_mag else Y
             states[name] = st
         fence(converted_dev)
     timings["nmf_solve" if sync_stages else "nmf_dispatch"] = t.elapsed

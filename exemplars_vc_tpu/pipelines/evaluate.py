@@ -72,16 +72,23 @@ class HeldOutScore:
 def _configs(cfg: Config) -> dict[str, Config]:
     """The four canonical evaluation configs: each synthesis path × the
     reference-parity solver settings and the beyond-reference quality
-    settings (KL β-loss + multi-frame exemplars, BENCHMARKS.md)."""
+    settings, each chosen by HELD-OUT measurement (BENCHMARKS.md §held-out
+    quality): KL β-loss on both paths; context_frames stays 0 (the ±3-frame
+    context that helps in-dictionary hurts held-out — memorization); the
+    WORLD path solves sp in the magnitude domain and drops the residual
+    (R = X/(H·A) pulls held-out output back toward the source speaker)."""
     stft = replace(cfg, data=replace(cfg.data, use_stft=True))
     world = replace(cfg, data=replace(cfg.data, use_stft=False))
-    quality = lambda c: replace(c, nmf=replace(
-        c.nmf, beta_loss="kullback-leibler", context_frames=3))
+    kl = lambda c: replace(c, nmf=replace(
+        c.nmf, beta_loss="kullback-leibler", context_frames=0))
+    wq = kl(world)
+    wq = replace(wq, world=replace(wq.world, sp_domain="magnitude"),
+                 nmf=replace(wq.nmf, use_residual="off"))
     return {
         "stft_parity": stft,
-        "stft_quality": quality(stft),
+        "stft_quality": kl(stft),
         "world_parity": world,
-        "world_quality": quality(world),
+        "world_quality": wq,
     }
 
 

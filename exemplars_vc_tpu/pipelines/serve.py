@@ -158,10 +158,15 @@ class Converter:
 
                     converted[name] = convert_f0_logmv(Xj, A, B)
                     continue
+                sp_mag = name == "sp" and cfg.world.sp_domain == "magnitude"
+                if sp_mag:  # see config.WorldConfig.sp_domain
+                    Xj, A, B = jnp.sqrt(Xj), jnp.sqrt(A), jnp.sqrt(B)
                 st = _solve_activations(Xj, A, cfg)
                 R = (residual_compensation(Xj, st.H, A, mode=cfg.nmf.residual_mode)
-                     if self.kind == "world" else None)
-                converted[name] = convert_features(st.H, B, R)
+                     if self.kind == "world" and cfg.nmf.use_residual != "off"
+                     else None)
+                Y = convert_features(st.H, B, R)
+                converted[name] = Y * Y if sp_mag else Y
                 states.append(st)
 
             if self.kind == "stft":
