@@ -40,6 +40,14 @@ class DataConfig:
     # Ragged utterances are padded to a multiple of this many frames before
     # batching under jit (new: the reference keeps python lists everywhere).
     frame_bucket: int = 128
+    # Dictionary-density lever (beyond reference): build the exemplar
+    # dictionaries (DTW features + A/B conversion features) at
+    # hop/frame-period ÷ this divisor, while the CONVERSION INPUT stays on
+    # the normal frame grid. >1 multiplies the exemplar count from the same
+    # audio — the NMF doesn't care where dictionary rows came from, and the
+    # converted output keeps the input's grid. Measured on the held-out pair
+    # in BENCHMARKS.md §held-out quality.
+    dict_hop_divisor: int = 1
 
 
 @dataclass(frozen=True)

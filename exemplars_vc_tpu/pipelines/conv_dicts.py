@@ -144,7 +144,14 @@ def build_conversion_dicts(
     log = get_logger()
     nb = nb_file if nb_file is not None else cfg.misc.nb_file
     kind = "stft" if cfg.data.use_stft else "world"
-    key = f"conv_feats_{speaker}_{kind}_{nb}"
+    # non-reference hops (the dict_hop_divisor densifier) get their own
+    # artifacts; reference-hop keys stay stable for existing stores
+    if kind == "stft":
+        hop_tag = "" if cfg.mcep.hop_length == 80 else f"_h{cfg.mcep.hop_length}"
+    else:
+        fp = cfg.world.frame_period_ms
+        hop_tag = "" if fp == 5.0 else f"_fp{fp:g}"
+    key = f"conv_feats_{speaker}_{kind}_{nb}{hop_tag}"
     if store.has(key):
         log.info("conversion-feature cache hit: %s", key)
         z = store.load(key)

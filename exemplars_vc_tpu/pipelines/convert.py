@@ -175,10 +175,27 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
     The gather runs on device (:func:`build_exemplar_dicts_padded`): padded
     path rows become zero rows, which are exactly inert in every activation
     solver, and A/B shapes are static per frame-bucket — one NMF executable
-    across corpora, no multi-MB exemplar matrices through the host link."""
-    dict_art = make_dictionary(cfg, store, data_path, nb_file=nb_file)
-    src_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.src, nb_file=nb_file)
-    tar_feats = build_conversion_dicts(cfg, store, data_path, cfg.data.tar, nb_file=nb_file)
+    across corpora, no multi-MB exemplar matrices through the host link.
+
+    ``data.dict_hop_divisor > 1`` densifies only the DICTIONARY side: the
+    DTW alignment and the A/B feature extraction run at hop ÷ divisor
+    (frame_period ÷ divisor on the WORLD path) for divisor× the exemplars
+    from the same audio, while the conversion input keeps the normal grid
+    (config.DataConfig.dict_hop_divisor)."""
+    from dataclasses import replace as _replace
+
+    div = cfg.data.dict_hop_divisor
+    dcfg = cfg
+    if div > 1:
+        dcfg = _replace(
+            cfg,
+            mcep=_replace(cfg.mcep, hop_length=max(cfg.mcep.hop_length // div, 1)),
+            world=_replace(cfg.world,
+                           frame_period_ms=cfg.world.frame_period_ms / div),
+        )
+    dict_art = make_dictionary(dcfg, store, data_path, nb_file=nb_file)
+    src_feats = build_conversion_dicts(dcfg, store, data_path, cfg.data.src, nb_file=nb_file)
+    tar_feats = build_conversion_dicts(dcfg, store, data_path, cfg.data.tar, nb_file=nb_file)
 
     # exemplar count, rounded to a bucket so the NMF shape is corpus-stable
     k_true = int(np.asarray(dict_art.path_len).sum())

@@ -152,7 +152,10 @@ def make_dictionary(
     unused variant, fully supported here."""
     log = get_logger()
     nb = nb_file if nb_file is not None else cfg.misc.nb_file
-    key = f"exemplar_dict_{cfg.data.src}2{cfg.data.tar}_{feat}_{nb}"
+    # non-reference hops (the dict_hop_divisor densifier) get their own
+    # artifacts; the reference-hop key stays stable for existing stores
+    hop_tag = "" if cfg.mcep.hop_length == 80 else f"_h{cfg.mcep.hop_length}"
+    key = f"exemplar_dict_{cfg.data.src}2{cfg.data.tar}_{feat}_{nb}{hop_tag}"
     if store.has(key):
         log.info("dictionary cache hit: %s", key)
         z = store.load(key)

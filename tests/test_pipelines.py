@@ -277,6 +277,26 @@ def test_serve_convert_batch_matches_single(cfg, store, tmp_path):
     np.testing.assert_allclose(batch[0].audio, single.audio, atol=2e-4)
 
 
+def test_dict_hop_divisor_densifies(cfg, tmp_path):
+    """data.dict_hop_divisor=2 builds the dictionaries at hop/2 → ~2× the
+    exemplars from the same audio; the conversion input keeps its grid."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.convert import _aligned_dicts
+
+    st = ArtifactStore(str(tmp_path / "dense_store"))
+    d1, _ = _aligned_dicts(cfg, st, DATA, 2)
+    c2 = replace(cfg, data=replace(cfg.data, dict_hop_divisor=2))
+    d2, _ = _aligned_dicts(c2, st, DATA, 2)
+    k1 = np.asarray(d1["stft"][0]).shape[0]
+    k2 = np.asarray(d2["stft"][0]).shape[0]
+    assert 1.7 * k1 < k2 < 2.3 * k1, (k1, k2)
+    # conversion still runs end-to-end and output length tracks the INPUT grid
+    res = convert_utterance(c2, st, DATA, os.path.join(DATA, "SF1", "100001.wav"),
+                            nb_file=2, synth_iters=5)
+    assert np.isfinite(res.audio).all()
+
+
 def test_serve_batch_exact_with_context_frames(cfg, store, tmp_path):
     """context_frames stacks per utterance inside convert_batch, so batch
     must stay exactly ≡ single-utterance conversion (no cross-utterance
