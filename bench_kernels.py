@@ -111,6 +111,47 @@ def measure_hbm_bandwidth(size: int, chain: int) -> float:
     return gbytes / t
 
 
+def measure_hbm_matmul_stream_bandwidth(size: int, chain: int) -> float:
+    """Achievable HBM bandwidth for MXU-PIPELINED streaming: a dependent
+    chain of skinny matmuls (32, K)·(K, 256) over a `size`-float operand
+    (K = size/256) → bytes ≈ chain · 4 · size · 9/8, AI ≈ 14 flop/byte
+    (memory-bound: the roofline limit at AI 14 is well under the measured
+    matmul peak).
+
+    This matches the traffic profile of the MU kernels, which stream the
+    big dictionary A through the MXU and write only the much smaller H.
+    Both elementwise probes undershoot what those kernels actually sustain
+    (ROADMAP r2 gap: 304 GB/s scale-chain / 210 GB/s reduce-chain vs
+    ~537 GB/s implied by the K=100k NMF kernel) — the VPU's elementwise
+    pipelines don't issue loads the way the MXU's operand streamer does.
+    The scalar chaining (each pass's left operand is scaled by the previous
+    pass's mean) keeps passes sequential and un-hoistable."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    K = size // 256
+
+    @partial(jax.jit, static_argnames=("K", "chain"))
+    def run(key, salt, K, chain):
+        x = jax.random.normal(jax.random.fold_in(key, salt), (K, 256),
+                              jnp.float32)
+        v0 = jnp.ones((32, K), jnp.float32)
+
+        def body(i, s):
+            out = jnp.dot(v0 * (1.0 + 1e-12 * s), x,
+                          preferred_element_type=jnp.float32)
+            return jnp.mean(out)
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+    key = jax.random.PRNGKey(2)
+    t = _timed_call(lambda k, salt=0: run(k, salt, K, chain), key)
+    gbytes = chain * 4.0 * (K * 256 + 32 * K)
+    log(f"HBM matmul stream (size={size}, chain={chain}): {gbytes / t / 1e9:.0f} GB/s")
+    return gbytes / t
+
+
 def kernel_models() -> dict:
     """Analytic FLOP/byte models for the modeled hot kernels (f32 storage).
 
@@ -151,8 +192,13 @@ def kernel_models() -> dict:
 
 
 def build_roofline(results: dict, peak_f32: float, peak_bf16: float,
-                   hbm_bw: float) -> dict:
-    """Per-kernel achieved vs roofline-limit accounting."""
+                   hbm_bw: float, hbm_bw_rw: float | None = None) -> dict:
+    """Per-kernel achieved vs roofline-limit accounting.
+
+    ``hbm_bw`` is the calibration bandwidth used for the limits — the best
+    of the read-only and read+write stream probes (the MU kernels' traffic
+    is read-dominated); ``hbm_bw_rw`` records the balanced probe for
+    reference."""
     out = {
         "calibration": {
             "peak_matmul_f32_tflops": round(peak_f32 / 1e12, 2),
@@ -162,6 +208,8 @@ def build_roofline(results: dict, peak_f32: float, peak_bf16: float,
         },
         "kernels": {},
     }
+    if hbm_bw_rw is not None:
+        out["calibration"]["hbm_stream_rw_gbps"] = round(hbm_bw_rw / 1e9, 1)
     for name, model in kernel_models().items():
         if name not in results:
             continue
@@ -181,6 +229,24 @@ def build_roofline(results: dict, peak_f32: float, peak_bf16: float,
             "pct_of_roofline": round(100.0 * achieved / limit, 1),
             "pct_of_matmul_peak_f32": round(100.0 * achieved / peak_f32, 1),
         }
+    # Every hand-written stream probe (elementwise scale chain, reduce
+    # chain, skinny-matmul chain) sustains LESS bandwidth than the best
+    # MU kernel itself implies — the probes are lower bounds, and the
+    # fastest kernel defines the chip's MEASURED bandwidth frontier. Add a
+    # frontier-based view so kernels never read as ">100% of roofline":
+    # pct_of_frontier_roofline measures each kernel against the limit
+    # implied by the best bandwidth any kernel in this table has sustained.
+    frontier = max([hbm_bw] + [v["achieved_gbps"] * 1e9
+                               for v in out["kernels"].values()
+                               if "achieved_gbps" in v])
+    out["calibration"]["hbm_frontier_gbps"] = round(frontier / 1e9, 1)
+    for name, v in out["kernels"].items():
+        if "achieved_tflops" not in v:
+            continue
+        ai = v["arith_intensity_flop_per_byte"]
+        limit2 = min(peak_f32, ai * frontier)
+        v["pct_of_frontier_roofline"] = round(
+            100.0 * v["achieved_tflops"] * 1e12 / limit2, 1)
     # DTW is wavefront-sequential (scan over anti-diagonals), not a
     # throughput kernel: report DP-cell rate instead of a FLOP roofline
     for name, cells in (("dtw_batch_8x896", 8 * 896 * 896),):
@@ -309,9 +375,12 @@ def main():
                                    chain=16 if big else 4)
     peak_bf16 = measure_peak_matmul("bfloat16", n=4096 if big else 1024,
                                     chain=16 if big else 4)
-    hbm_bw = measure_hbm_bandwidth(size=2 ** 27 if big else 2 ** 23,
-                                   chain=16 if big else 4)
-    roofline = build_roofline(results, peak_f32, peak_bf16, hbm_bw)
+    hbm_bw_rw = measure_hbm_bandwidth(size=2 ** 27 if big else 2 ** 23,
+                                      chain=16 if big else 4)
+    hbm_bw_mm = measure_hbm_matmul_stream_bandwidth(
+        size=2 ** 27 if big else 2 ** 23, chain=16 if big else 4)
+    roofline = build_roofline(results, peak_f32, peak_bf16,
+                              max(hbm_bw_rw, hbm_bw_mm), hbm_bw_rw=hbm_bw_rw)
     for k, v in roofline["kernels"].items():
         log(f"roofline {k}: {v}")
 

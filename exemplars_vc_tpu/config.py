@@ -160,6 +160,30 @@ class NmfConfig:
     # λ‖H‖₁ sparsity on the activations (0 = off, sklearn-parity); the
     # conventional sparse-coding constraint of exemplar-based VC. mu solver.
     sparsity_l1: float = 0.0
+    # Adaptive per-frame dictionary pruning (factorize.prune_topk_refine):
+    # after the global solve, keep each frame's top-k exemplars and re-solve
+    # that frame's small NMF on just those rows (unpenalized on the kept
+    # support, warm-started). Hard sparsity — beyond the reference's dense
+    # solver. 0 = off; prune_iters is the refinement MU budget.
+    prune_topk: int = 0
+    prune_iters: int = 100
+    # Activation sharpening (factorize.sharpen_activations): H ← H^γ with a
+    # per-frame least-squares gain refit before conversion; γ > 1
+    # concentrates each frame onto its dominant exemplars. 1.0 = off.
+    activation_power: float = 1.0
+    # Temporal smoothing of the activations: box filter of ±h_smooth frames
+    # along the time axis of H before conversion (edge-clamped), smoothing
+    # frame-to-frame exemplar switching. 0 = off.
+    h_smooth: int = 0
+    # Feature domain for the ACTIVATION SOLVE only ("linear" = reference
+    # parity). "mel" projects X and A through a solve_mels-band mel
+    # filterbank before estimating H (conversion H·B stays full-resolution):
+    # mel integration removes the harmonic fine structure whose source-vs-
+    # dictionary f0 mismatch pollutes activation estimation, so exemplar
+    # matching is driven by the envelope. Applied to any spectral feature
+    # whose bin count exceeds solve_mels (sp/stft; f0 is untouched).
+    solve_domain: str = "linear"
+    solve_mels: int = 64
     # multi-frame exemplars: stack ±context_frames neighbor frames onto the
     # feature axis of X and A before the activation solve (the classic
     # exemplar-VC extension the reference's single-frame dictionaries lack;

@@ -176,6 +176,88 @@ def nmf_activations(
     return NmfState(H.astype(out_dtype), n_iter, err)
 
 
+@partial(jax.jit, static_argnames=("k", "beta_loss", "n_iter"))
+def prune_topk_refine(
+    X: jnp.ndarray,
+    A: jnp.ndarray,
+    H: jnp.ndarray,
+    k: int,
+    beta_loss: str = "frobenius",
+    n_iter: int = 100,
+) -> NmfState:
+    """Adaptive per-frame dictionary pruning: re-solve each frame over only
+    its top-k exemplars.
+
+    Exemplar-based VC wants each frame explained by a FEW exemplars; the
+    dense MU solve instead spreads activation mass over the whole dictionary
+    (the L1 lever tempers but never zeroes it). This refinement imposes hard
+    per-frame sparsity: take the global solve's H, keep each frame's k
+    largest activations, gather that frame's private (k, D) dictionary, and
+    re-run the same MU update batched over frames (einsum batched matvecs —
+    MXU-shaped, k and D both lane-sized). The refined activations scatter
+    back into a (F, K) H with ≤k nonzeros per row, so every downstream
+    consumer (conversion H·B, residual, serving) is unchanged.
+
+    Unlike ``sparsity_l1`` this is supported-set sparsity — the re-solve is
+    UNPENALIZED on the kept support, so reconstruction on the support is not
+    biased toward zero. Warm-started from the kept values (MU keeps them
+    positive). Beyond-reference: the reference's solver has no pruning
+    (``04_align_n_nmf.py:194-215`` solves the dense problem only).
+    """
+    F, D = X.shape
+    K = A.shape[0]
+    k = min(k, K)
+    out_dtype = X.dtype
+    vals, idx = jax.lax.top_k(H, k)                    # (F, k)
+    Asel = A[idx]                                      # (F, k, D)
+    h0 = vals.astype(jnp.float32)
+    Xf = X.astype(jnp.float32)
+    Af = Asel.astype(jnp.float32)
+
+    if beta_loss == "frobenius":
+        num = jnp.einsum("fd,fkd->fk", Xf, Af)         # loop-invariant
+
+        def step(h):
+            WH = jnp.einsum("fk,fkd->fd", h, Af)
+            denom = jnp.einsum("fd,fkd->fk", WH, Af)
+            return h * num / jnp.where(denom == 0.0, _EPS, denom)
+    elif beta_loss in ("kullback-leibler", "kl"):
+        rs = jnp.sum(Af, axis=2)                       # (F, k)
+        rs = jnp.where(rs == 0.0, _EPS, rs)
+
+        def step(h):
+            WH = jnp.einsum("fk,fkd->fd", h, Af)
+            ratio = Xf / jnp.maximum(WH, _EPS)
+            return h * jnp.einsum("fd,fkd->fk", ratio, Af) / rs
+    else:
+        raise ValueError(f"unknown beta_loss {beta_loss!r}")
+
+    h = jax.lax.fori_loop(0, n_iter, lambda _, hh: step(hh), h0)
+    resid = Xf - jnp.einsum("fk,fkd->fd", h, Af)
+    err = jnp.sqrt(jnp.sum(resid * resid))
+    Hs = jnp.zeros((F, K), out_dtype).at[
+        jnp.arange(F)[:, None], idx].set(h.astype(out_dtype))
+    return NmfState(Hs, jnp.int32(n_iter), err)
+
+
+@jax.jit
+def sharpen_activations(
+    H: jnp.ndarray, A: jnp.ndarray, X: jnp.ndarray, gamma: jnp.ndarray
+) -> jnp.ndarray:
+    """Activation sharpening: H ← γ-power of H, refit per-frame gain.
+
+    Raising the (non-negative) activations to γ > 1 concentrates each
+    frame's mass onto its dominant exemplars — a softer relative of top-k
+    pruning. The power destroys the reconstruction scale, so each frame gets
+    the least-squares gain s_f = ⟨X_f, X̂_f⟩/‖X̂_f‖² (X̂ = Hᵞ·A) restoring the
+    fit before conversion. γ = 1 with the refit is a pure per-frame gain
+    re-calibration (s ≈ 1 at the solver fixed point)."""
+    Hs = jnp.power(H, gamma)
+    Xh = jnp.dot(Hs, A, preferred_element_type=jnp.float32)
+    s = (X * Xh).sum(axis=1) / jnp.maximum((Xh * Xh).sum(axis=1), _EPS)
+    return jnp.maximum(s, 0.0)[:, None].astype(H.dtype) * Hs
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def residual_compensation(
     X: jnp.ndarray, H: jnp.ndarray, A: jnp.ndarray, mode: str = "correct"

@@ -99,12 +99,59 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
     the solve; H keeps its (frames × K) shape, so conversion (H·B) is
     untouched downstream. ``x_prestacked=True`` means the caller already
     context-stacked X (e.g. per utterance, so a concatenated batch does not
-    mix context across utterance boundaries — ``serve.convert_batch``)."""
+    mix context across utterance boundaries — ``serve.convert_batch``).
+
+    Post-solve refinements (both beyond the reference's dense solver, both
+    shape-preserving so conversion/residual/serving are untouched):
+    ``nmf.prune_topk`` re-solves each frame over only its top-k exemplars
+    (hard per-frame sparsity); ``nmf.activation_power`` sharpens H with a
+    per-frame gain refit."""
     c = cfg.nmf.context_frames
+    if cfg.nmf.solve_domain == "mel" and X.shape[1] > cfg.nmf.solve_mels:
+        if c > 0 and x_prestacked:
+            raise ValueError("solve_domain='mel' cannot re-project an "
+                             "already context-stacked X; stack after the "
+                             "projection (x_prestacked=False)")
+        from exemplars_vc_tpu.dsp import mel_filterbank
+
+        # infer the STFT grid from the bin count; conversion H·B stays
+        # full-resolution — only the activation estimate moves to mel
+        M = jnp.asarray(mel_filterbank(cfg.data.sr, 2 * (X.shape[1] - 1),
+                                       n_mels=cfg.nmf.solve_mels))
+        X = X @ M.T
+        A = A @ M.T
     if c > 0:
         if not x_prestacked:
             X = _stack_context(X, c)
         A = _stack_context(A, c)
+    st = _dispatch_solver(X, A, cfg)
+    if cfg.nmf.prune_topk > 0:
+        from exemplars_vc_tpu.factorize import prune_topk_refine
+
+        beta = cfg.nmf.beta_loss if cfg.nmf.solver in ("auto", "mu", "mu_pallas") \
+            else "frobenius"
+        st = prune_topk_refine(X, A, st.H, k=cfg.nmf.prune_topk,
+                               beta_loss=beta, n_iter=cfg.nmf.prune_iters)
+    if cfg.nmf.activation_power != 1.0:
+        from exemplars_vc_tpu.factorize import sharpen_activations
+
+        H = sharpen_activations(st.H, A, X, cfg.nmf.activation_power)
+        # error is the pre-sharpening solver error; the refit gain keeps the
+        # reconstruction comparable, and recomputing would add a matmul
+        st = NmfState(H, st.n_iter, st.error)
+    if cfg.nmf.h_smooth > 0:
+        s = cfg.nmf.h_smooth
+        F = st.H.shape[0]
+        base = jnp.arange(F)
+        # edge-clamped box filter along time — smooths frame-to-frame
+        # exemplar switching before the conversion matmul
+        Hsm = sum(st.H[jnp.clip(base + d, 0, F - 1)]
+                  for d in range(-s, s + 1)) / (2 * s + 1)
+        st = NmfState(Hsm, st.n_iter, st.error)
+    return st
+
+
+def _dispatch_solver(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
     solver = cfg.nmf.solver
     if solver == "auto":
         # bench_kernels.py (fresh inputs, device-side materialization): the

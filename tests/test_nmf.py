@@ -200,3 +200,84 @@ def test_bf16_work_dtype_close_to_f32():
     assert float(bf16.error) < 1.05 * float(f32.error) + 1e-3
     rel = np.linalg.norm(np.asarray(bf16.H) - np.asarray(f32.H)) / np.linalg.norm(np.asarray(f32.H))
     assert rel < 0.08, rel
+
+
+def test_prune_topk_refine_support_and_fit():
+    """Top-k refinement: ≤k nonzeros per row, reconstruction stays in the
+    dense solve's ballpark (and per-frame oracle: the refined frame solves
+    its OWN small MU problem — check one frame against float64 numpy MU on
+    the gathered dictionary, warm-started identically)."""
+    from exemplars_vc_tpu.factorize import prune_topk_refine
+
+    X, A = _problem(F=24, K=80, D=25, seed=7, dtype=np.float32)
+    dense = nmf_activations(jnp.asarray(X), jnp.asarray(A), tol=0.0, max_iter=120)
+    k = 12
+    st = prune_topk_refine(jnp.asarray(X), jnp.asarray(A), dense.H, k=k,
+                           beta_loss="frobenius", n_iter=80)
+    H = np.asarray(st.H)
+    assert H.shape == dense.H.shape
+    assert (H > 0).sum(axis=1).max() <= k
+    # hard sparsity trades some reconstruction fit for generalization; the
+    # refined error must stay the same order as the dense solve's
+    assert float(st.error) < 1.6 * float(dense.error) + 1e-3
+
+    # float64 oracle for frame 0
+    Hd = np.asarray(dense.H, dtype=np.float64)
+    idx = np.argsort(Hd[0])[::-1][:k]
+    # jax.lax.top_k and argsort may order ties differently; compare by the
+    # SUPPORT SET (as a set) and the refined solution on it
+    got_support = set(np.nonzero(H[0])[0].tolist())
+    assert got_support == set(idx.tolist())
+    Asel = A[idx].astype(np.float64)
+    h = Hd[0, idx].copy()
+    eps = np.finfo(np.float64).eps
+    num = X[0].astype(np.float64) @ Asel.T
+    for _ in range(80):
+        den = (h @ Asel) @ Asel.T
+        h = h * num / np.where(den == 0.0, eps, den)
+    np.testing.assert_allclose(np.sort(H[0, idx]), np.sort(h), rtol=2e-3, atol=1e-5)
+
+
+def test_prune_topk_refine_kl_support():
+    from exemplars_vc_tpu.factorize import prune_topk_refine
+
+    X, A = _problem(F=16, K=60, D=25, seed=8, dtype=np.float32)
+    dense = nmf_activations(jnp.asarray(X), jnp.asarray(A),
+                            beta_loss="kullback-leibler", tol=0.0, max_iter=100)
+    st = prune_topk_refine(jnp.asarray(X), jnp.asarray(A), dense.H, k=10,
+                           beta_loss="kullback-leibler", n_iter=80)
+    H = np.asarray(st.H)
+    assert (H > 0).sum(axis=1).max() <= 10
+    assert np.isfinite(H).all() and (H >= 0).all()
+    # k >= K degenerates to a full re-solve — identical support, finite
+    st_full = prune_topk_refine(jnp.asarray(X), jnp.asarray(A), dense.H,
+                                k=A.shape[0] + 5, beta_loss="kullback-leibler",
+                                n_iter=10)
+    assert np.isfinite(np.asarray(st_full.H)).all()
+
+
+def test_sharpen_activations_gain_refit():
+    """γ=1: pure gain refit, s≈1 near the fixed point (reconstruction
+    unchanged within tolerance); γ>1 keeps reconstruction bounded and
+    concentrates mass (entropy of normalized rows drops)."""
+    from exemplars_vc_tpu.factorize import sharpen_activations
+
+    X, A = _problem(F=20, K=60, D=25, seed=9, dtype=np.float32)
+    Xj, Aj = jnp.asarray(X), jnp.asarray(A)
+    dense = nmf_activations(Xj, Aj, tol=0.0, max_iter=200)
+    H1 = np.asarray(sharpen_activations(dense.H, Aj, Xj, jnp.float32(1.0)))
+    r0 = np.linalg.norm(X - np.asarray(dense.H) @ A)
+    r1 = np.linalg.norm(X - H1 @ A)
+    assert r1 < 1.02 * r0 + 1e-5
+
+    H2 = np.asarray(sharpen_activations(dense.H, Aj, Xj, jnp.float32(2.0)))
+    r2 = np.linalg.norm(X - H2 @ A)
+    # γ=2 visibly costs fit on a dense synthetic solve — only require the
+    # refit keeps the residual the same order, finite
+    assert np.isfinite(r2) and r2 < 6.0 * r0 + 1e-3
+
+    def entropy(M):
+        P = M / np.maximum(M.sum(axis=1, keepdims=True), 1e-12)
+        return float(-(P * np.log(np.maximum(P, 1e-12))).sum(axis=1).mean())
+
+    assert entropy(H2) < entropy(np.asarray(dense.H))
