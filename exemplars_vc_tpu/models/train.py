@@ -34,13 +34,36 @@ from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
 
 
 def make_warping_dataset(cfg: Config, store: ArtifactStore, data_path: str,
-                         nb_file: int | None = None):
+                         nb_file: int | None = None, features: str = "dict"):
     """Aligned (source, target) frame sequences from the exemplar dictionary —
     the training pairs the reference loads from ``SF12TM3_*.pkl``
-    (``02_freq_warping_neural.py:257-260``)."""
+    (``02_freq_warping_neural.py:257-260``).
+
+    ``features="dict"`` (reference semantics) trains on the dictionary
+    features themselves (MFCC). Any other value names a conversion feature
+    ("stft", "sp", …): the same DTW paths gather that feature's per-utterance
+    sequences instead, producing aligned SPECTRAL pairs — the training set
+    for direct neural conversion (beyond the reference, whose eval script
+    for this path was left broken)."""
     art = make_dictionary(cfg, store, data_path, nb_file=nb_file)
-    src = gather_aligned_batch(jnp.asarray(art.feat_a), jnp.asarray(art.path_i))
-    tar = gather_aligned_batch(jnp.asarray(art.feat_b), jnp.asarray(art.path_j))
+    if features == "dict":
+        fa, fb = jnp.asarray(art.feat_a), jnp.asarray(art.feat_b)
+    else:
+        from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+
+        sf = build_conversion_dicts(cfg, store, data_path, cfg.data.src,
+                                    nb_file=nb_file)
+        tf_ = build_conversion_dicts(cfg, store, data_path, cfg.data.tar,
+                                     nb_file=nb_file)
+        fa = jnp.asarray(sf.feats[features])
+        fb = jnp.asarray(tf_.feats[features])
+        # the DTW paths index the dictionary-feature frame grid; conversion
+        # features are extracted at the same hop, so the grids agree
+        assert int(np.asarray(art.path_i).max()) < fa.shape[1], \
+            f"alignment grid ({np.asarray(art.path_i).max()}) exceeds " \
+            f"{features} frames ({fa.shape[1]})"
+    src = gather_aligned_batch(fa, jnp.asarray(art.path_i))
+    tar = gather_aligned_batch(fb, jnp.asarray(art.path_j))
     mask = (art.path_i >= 0).astype(np.float32)
     return np.asarray(src), np.asarray(tar), mask
 
@@ -126,20 +149,29 @@ def train_warping_net(
     run_root: str | None = None,
     seed: int = 0,
     data_parallel: bool = False,
+    features: str = "dict",
 ) -> dict:
     """Train the warping net. With ``data_parallel=True`` and multiple
     devices, minibatches are sharded over the mesh ``data`` axis (parameters
     replicated; XLA all-reduces the gradients) — the multi-chip training path
-    exercised by __graft_entry__.dryrun_multichip."""
-    log = get_logger()
-    src, tar, mask = make_warping_dataset(cfg, store, data_path, nb_file=nb_file)
-    idx_train, idx_test = train_test_split(src.shape[0])
-    log.info("warping dataset: %d train / %d test utterances, T=%d",
-             len(idx_train), len(idx_test), src.shape[1])
+    exercised by __graft_entry__.dryrun_multichip.
 
+    ``features`` other than "dict" trains on that aligned CONVERSION feature
+    (e.g. "stft") — direct neural conversion; in/out sizes then come from
+    the data, and the checkpoint/normalization artifacts get a
+    feature-suffixed name so the reference-parity MFCC net is untouched."""
+    log = get_logger()
+    src, tar, mask = make_warping_dataset(cfg, store, data_path,
+                                          nb_file=nb_file, features=features)
+    idx_train, idx_test = train_test_split(src.shape[0])
+    log.info("warping dataset (%s): %d train / %d test utterances, T=%d",
+             features, len(idx_train), len(idx_test), src.shape[1])
+
+    io_size = cfg.net.in_size if features == "dict" else src.shape[2]
+    out_size = cfg.net.out_size if features == "dict" else tar.shape[2]
     net_cfg = WarpingNetConfig(
-        in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
-        out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
+        in_size=io_size, hidden_size=cfg.net.hidden_size,
+        out_size=out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
         bidirectional=cfg.net.bidirectional,
     )
     params = init_warping_params(jax.random.PRNGKey(seed), net_cfg)
@@ -155,7 +187,8 @@ def train_warping_net(
     denom = max(m3.sum(), 1.0)
     mu = (src[idx_train] * m3).sum((0, 1)) / denom
     sd = np.sqrt(((src[idx_train] - mu) ** 2 * m3).sum((0, 1)) / denom) + 1e-6
-    store.save("warping_norm", mu=mu, sd=sd)
+    feat_tag = "" if features == "dict" else f"_{features}"
+    store.save(f"warping_norm{feat_tag}", mu=mu, sd=sd)
 
     def norm(a):
         return (a - mu) / sd
@@ -175,7 +208,7 @@ def train_warping_net(
 
     best_loss, best_epoch, stale = np.inf, -1, 0
     history = []
-    ckpt_name = f"{cfg.net.checkpoint_name}_warping"
+    ckpt_name = f"{cfg.net.checkpoint_name}_warping{feat_tag}"
     n_train = xs_tr.shape[0]
     # minibatch of batch_size utterances per step (reference: one optimizer
     # step per utterance per epoch, 02_freq_warping_neural.py:161-191)
@@ -254,20 +287,26 @@ def train_warping_net(
     }
 
 
-def apply_warping_net(store: ArtifactStore, cfg: Config, feats: jnp.ndarray) -> jnp.ndarray:
+def apply_warping_net(store: ArtifactStore, cfg: Config, feats: jnp.ndarray,
+                      features: str = "dict") -> jnp.ndarray:
     """Inference path (the reference's unfinished ``02_test_freq_warping_neural``):
-    load the best checkpoint (+ normalization stats) and warp feature sequences."""
-    if store.has("warping_norm"):
-        z = store.load("warping_norm")
+    load the best checkpoint (+ normalization stats) and warp feature
+    sequences. ``features`` selects the feature-suffixed checkpoint trained
+    by :func:`train_warping_net` (e.g. "stft" for the spectral net)."""
+    feat_tag = "" if features == "dict" else f"_{features}"
+    if store.has(f"warping_norm{feat_tag}"):
+        z = store.load(f"warping_norm{feat_tag}")
         mu, sd = jnp.asarray(z["mu"]), jnp.asarray(z["sd"])
     else:
         mu, sd = 0.0, 1.0
     feats = (feats - mu) / sd
+    io_size = cfg.net.in_size if features == "dict" else feats.shape[-1]
+    out_size = cfg.net.out_size if features == "dict" else feats.shape[-1]
     net_cfg = WarpingNetConfig(
-        in_size=cfg.net.in_size, hidden_size=cfg.net.hidden_size,
-        out_size=cfg.net.out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
+        in_size=io_size, hidden_size=cfg.net.hidden_size,
+        out_size=out_size, nb_lstm_layers=cfg.net.nb_lstm_layers,
         bidirectional=cfg.net.bidirectional,
     )
     like = init_warping_params(jax.random.PRNGKey(0), net_cfg)
-    params = load_params(store, f"{cfg.net.checkpoint_name}_warping", like)
+    params = load_params(store, f"{cfg.net.checkpoint_name}_warping{feat_tag}", like)
     return warping_forward_batch(params, feats) * sd + mu

@@ -156,9 +156,12 @@ def cmd_warp_eval(args):
     )
 
     cfg, store = _setup(args)
-    src, tar, mask = make_warping_dataset(cfg, store, args.data, nb_file=args.nb_file)
+    src, tar, mask = make_warping_dataset(cfg, store, args.data,
+                                          nb_file=args.nb_file,
+                                          features=args.features)
     _, idx_test = train_test_split(src.shape[0])
-    pred = np.asarray(apply_warping_net(store, cfg, jnp.asarray(src[idx_test])))
+    pred = np.asarray(apply_warping_net(store, cfg, jnp.asarray(src[idx_test]),
+                                        features=args.features))
     m = mask[idx_test][..., None]
     l1 = float(np.sum(np.abs(pred - tar[idx_test]) * m) / max(m.sum(), 1.0))
     baseline = float(np.sum(np.abs(src[idx_test] - tar[idx_test]) * m) / max(m.sum(), 1.0))
@@ -175,7 +178,7 @@ def cmd_warp_train(args):
 
     cfg, store = _setup(args)
     metrics = train_warping_net(cfg, store, args.data, nb_file=args.nb_file,
-                                run_root=args.runs)
+                                run_root=args.runs, features=args.features)
     print(json.dumps(metrics))
 
 
@@ -325,10 +328,15 @@ def main(argv=None):
     p = sub.add_parser("warp-train", help="stage 02: train the neural warping net")
     _add_common(p)
     p.add_argument("--runs", default=None)
+    p.add_argument("--features", default="dict",
+                   help="'dict' (reference MFCC pairs) or a conversion "
+                        "feature ('stft') for direct neural conversion")
     p.set_defaults(fn=cmd_warp_train)
 
     p = sub.add_parser("warp-eval", help="stage 02: evaluate the trained warping net")
     _add_common(p)
+    p.add_argument("--features", default="dict",
+                   help="feature set the net was trained on (see warp-train)")
     p.set_defaults(fn=cmd_warp_eval)
 
     p = sub.add_parser("freq-warp", help="stage 02: DFW/AMF warping estimation")

@@ -41,14 +41,18 @@ class StreamingConverter:
     ):
         # streaming's contract is chunked ≡ batch conversion (exact by NMF
         # row independence) — that requires the deterministic f32 solve AND
-        # nmf.context_frames == 0 (context stacks neighbor frames, so chunk
-        # edges would clamp differently from the batch solve). Both are
-        # force-overridden here to keep the contract.
-        if cfg.nmf.work_dtype != "float32" or cfg.nmf.context_frames != 0:
+        # no cross-frame coupling in the solve: nmf.context_frames (context
+        # stacks neighbor frames, so chunk edges would clamp differently
+        # from the batch solve) and nmf.h_smooth (temporal box filter on H)
+        # are both force-zeroed here to keep the contract. The row-
+        # independent refinements (prune_topk, activation_power,
+        # solve_domain) are chunk-safe and pass through.
+        if (cfg.nmf.work_dtype != "float32" or cfg.nmf.context_frames != 0
+                or cfg.nmf.h_smooth != 0):
             from dataclasses import replace
 
             cfg = replace(cfg, nmf=replace(
-                cfg.nmf, work_dtype="float32", context_frames=0))
+                cfg.nmf, work_dtype="float32", context_frames=0, h_smooth=0))
         self.cfg = cfg
         self.A = jnp.asarray(A, jnp.float32)
         self.B = jnp.asarray(B, jnp.float32)

@@ -162,3 +162,29 @@ def test_train_warping_net_data_parallel(tmp_path):
     assert metrics["epochs_run"] == 3
     assert np.isfinite(metrics["best_test_loss"])
     assert store.has("checkpoint_warping")
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(DATA, "SF1")), reason="no data")
+def test_train_warping_net_spectral_features(tmp_path):
+    """features="stft": the net trains on aligned spectral pairs (in/out
+    sizes from the data, feature-suffixed artifacts) and the inference path
+    round-trips — the direct-neural-conversion capability the reference's
+    broken eval script was reaching for."""
+    from exemplars_vc_tpu.models.train import apply_warping_net, train_warping_net
+
+    cfg = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=3", "net.nb_epoch=2", "net.patience=30",
+        "net.hidden_size=16", "data.use_stft=True",
+    ])
+    store = ArtifactStore(str(tmp_path))
+    metrics = train_warping_net(cfg, store, DATA, nb_file=3, features="stft")
+    assert np.isfinite(metrics["best_test_loss"])
+    assert store.has("checkpoint_warping_stft")
+    assert store.has("warping_norm_stft")
+    # the reference-parity MFCC artifacts are untouched
+    assert not store.has("checkpoint_warping")
+    n_bins = cfg.mcep.frame_length // 2 + 1
+    out = apply_warping_net(store, cfg, jnp.ones((1, 30, n_bins)),
+                            features="stft")
+    assert out.shape == (1, 30, n_bins)
+    assert np.isfinite(np.asarray(out)).all()

@@ -75,3 +75,24 @@ def test_streaming_audio_continuity():
         outs.append(y)
     total = np.concatenate(outs)
     assert total.shape == (3 * 64 * 80,)
+
+
+def test_streaming_row_independent_levers_match_batch():
+    """prune_topk/activation_power are per-frame → chunked ≡ batch holds;
+    the temporal levers (context_frames, h_smooth) are force-zeroed by the
+    constructor to preserve the contract."""
+    cfg = load_config(overrides=[
+        "nmf.max_iter=60", "nmf.tol=0", "nmf.prune_topk=16",
+        "nmf.prune_iters=40", "nmf.activation_power=1.3",
+        "nmf.h_smooth=2", "nmf.context_frames=2",
+    ])
+    A, B = _dicts()
+    sc = StreamingConverter(cfg, A, B)
+    assert sc.cfg.nmf.h_smooth == 0 and sc.cfg.nmf.context_frames == 0
+    assert sc.cfg.nmf.prune_topk == 16          # row-independent: passes through
+    rng = np.random.default_rng(7)
+    X = np.abs(rng.standard_normal((64, 201))).astype(np.float32)
+    chunks = [sc._convert_block(X[i : i + 16]) for i in range(0, 64, 16)]
+    streamed = np.concatenate(chunks, axis=0)
+    batch = sc._convert_block(X)
+    np.testing.assert_allclose(streamed, batch, rtol=1e-4, atol=1e-5)
