@@ -48,6 +48,11 @@ class DataConfig:
     # converted output keeps the input's grid. Measured on the held-out pair
     # in BENCHMARKS.md §held-out quality.
     dict_hop_divisor: int = 1
+    # VTLP dictionary augmentation (convert._augment_dicts): comma list of
+    # frequency-warp factors; each α appends a warped copy of every
+    # spectral exemplar pair (source and target warped identically), e.g.
+    # "0.9,1.1" triples the dictionary from the same audio. "" = off.
+    dict_augment_warps: str = ""
 
 
 @dataclass(frozen=True)

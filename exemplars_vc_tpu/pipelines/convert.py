@@ -215,6 +215,42 @@ def _pack_audio_stats(audio, *scalars):
     return jnp.concatenate([audio.astype(jnp.float32), jnp.stack(scalars)])
 
 
+def _vtlp_warp(M: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """Frequency-axis VTLP warp of magnitude rows (N, D): bin content moves
+    from f to α·f (linear warp, edges clamped so DC and Nyquist stay put in
+    range). α < 1 compresses formants downward (longer vocal tract), α > 1
+    upward. Linear interpolation — cheap, batched, and differentiable."""
+    D = M.shape[1]
+    src = jnp.clip(jnp.arange(D) / alpha, 0.0, D - 1.0)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, D - 1)
+    w = (src - lo).astype(M.dtype)
+    return M[:, lo] * (1.0 - w) + M[:, hi] * w
+
+
+def _augment_dicts(dicts: dict, warps: tuple[float, ...]) -> dict:
+    """Vocal-tract-length-perturbation dictionary augmentation: append
+    frequency-warped copies of every spectral exemplar pair (source and
+    target warped by the SAME α, so the pairing stays phonetically
+    consistent), multiplying dictionary coverage from the same audio —
+    a data-augmentation attack on the coverage ceiling the solver levers
+    cannot move (BENCHMARKS §held-out quality). f0 rows are tiled
+    unwarped (VTLP perturbs the vocal tract, not the pitch) so every
+    feature keeps the same exemplar row count."""
+    out = {}
+    for name, (A, B) in dicts.items():
+        Aj, Bj = jnp.asarray(A), jnp.asarray(B)
+        if name == "f0" or Aj.shape[1] < 8:
+            out[name] = (jnp.concatenate([Aj] * (1 + len(warps))),
+                         jnp.concatenate([Bj] * (1 + len(warps))))
+        else:
+            out[name] = (
+                jnp.concatenate([Aj] + [_vtlp_warp(Aj, a) for a in warps]),
+                jnp.concatenate([Bj] + [_vtlp_warp(Bj, a) for a in warps]),
+            )
+    return out
+
+
 def _aligned_dicts(cfg, store, data_path, nb_file):
     """Exemplar dictionaries A/B for every conversion feature, gathered along
     the DTW alignment paths.
@@ -256,7 +292,16 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
             dict_art.path_i, dict_art.path_j, k_pad=k_pad,
         )
         dicts[name] = (A, B)
+    warps = _parse_warps(cfg.data.dict_augment_warps)
+    if warps:
+        dicts = _augment_dicts(dicts, warps)
     return dicts, src_feats.kind
+
+
+def _parse_warps(spec: str) -> tuple[float, ...]:
+    if not spec:
+        return ()
+    return tuple(float(w) for w in spec.split(",") if w.strip())
 
 
 def convert_utterance(

@@ -311,3 +311,31 @@ def test_serve_batch_exact_with_context_frames(cfg, store, tmp_path):
     batch = conv.convert_batch(paths, synth_iters=10)
     single = conv.convert(paths[1], synth_iters=10)
     np.testing.assert_allclose(batch[1].audio, single.audio, atol=2e-4)
+
+
+def test_vtlp_dictionary_augmentation():
+    """data.dict_augment_warps: α=1 is identity; a warped copy moves a
+    spectral peak to ~α·bin; f0 rows are tiled unwarped; every feature's
+    exemplar count multiplies identically."""
+    import jax.numpy as jnp
+
+    from exemplars_vc_tpu.pipelines.convert import _augment_dicts, _vtlp_warp
+
+    rng = np.random.default_rng(0)
+    A = np.zeros((4, 201), np.float32)
+    A[:, 100] = 1.0                      # spectral peak at bin 100
+    one = np.asarray(_vtlp_warp(jnp.asarray(A), 1.0))
+    np.testing.assert_allclose(one, A, atol=1e-6)
+    up = np.asarray(_vtlp_warp(jnp.asarray(A), 1.1))
+    assert abs(int(up[0].argmax()) - 110) <= 1    # content of f appears at α·f
+    down = np.asarray(_vtlp_warp(jnp.asarray(A), 0.9))
+    assert abs(int(down[0].argmax()) - 90) <= 1
+
+    B = np.abs(rng.standard_normal((4, 201))).astype(np.float32)
+    f0 = np.abs(rng.standard_normal((4, 1))).astype(np.float32)
+    dicts = {"sp": (A, B), "f0": (f0, f0)}
+    aug = _augment_dicts(dicts, (0.9, 1.1))
+    assert aug["sp"][0].shape == (12, 201) and aug["sp"][1].shape == (12, 201)
+    assert aug["f0"][0].shape == (12, 1)
+    np.testing.assert_allclose(np.asarray(aug["sp"][0][:4]), A, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aug["f0"][0]), np.tile(f0, (3, 1)))
