@@ -251,6 +251,15 @@ def _augment_dicts(dicts: dict, warps: tuple[float, ...]) -> dict:
     return out
 
 
+# In-process memo of prepared (device-resident) dictionaries: repeated
+# conversions in one process — the bench steady state, CLI convert-dir
+# without serve, notebook use — would otherwise re-decompress the npz
+# artifacts and re-upload/gather identical exemplar matrices every call.
+# Keyed by everything that determines the dictionaries; bounded FIFO.
+_DICTS_MEMO: dict = {}
+_DICTS_MEMO_MAX = 8
+
+
 def _aligned_dicts(cfg, store, data_path, nb_file):
     """Exemplar dictionaries A/B for every conversion feature, gathered along
     the DTW alignment paths.
@@ -266,6 +275,12 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
     from the same audio, while the conversion input keeps the normal grid
     (config.DataConfig.dict_hop_divisor)."""
     from dataclasses import replace as _replace
+
+    memo_key = (store.root, data_path, nb_file,
+                repr(cfg.data), repr(cfg.mcep), repr(cfg.world))
+    hit = _DICTS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     div = cfg.data.dict_hop_divisor
     dcfg = cfg
@@ -295,6 +310,9 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
     warps = _parse_warps(cfg.data.dict_augment_warps)
     if warps:
         dicts = _augment_dicts(dicts, warps)
+    if len(_DICTS_MEMO) >= _DICTS_MEMO_MAX:
+        _DICTS_MEMO.pop(next(iter(_DICTS_MEMO)))
+    _DICTS_MEMO[memo_key] = (dicts, src_feats.kind)
     return dicts, src_feats.kind
 
 

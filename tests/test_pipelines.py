@@ -339,3 +339,19 @@ def test_vtlp_dictionary_augmentation():
     assert aug["f0"][0].shape == (12, 1)
     np.testing.assert_allclose(np.asarray(aug["sp"][0][:4]), A, atol=1e-6)
     np.testing.assert_allclose(np.asarray(aug["f0"][0]), np.tile(f0, (3, 1)))
+
+
+def test_dicts_memo_transparent(cfg, tmp_path):
+    """The in-process dictionary memo returns identical conversions and is
+    keyed by store/config (a different store root misses)."""
+    from exemplars_vc_tpu.io.store import list_speaker_wavs
+    from exemplars_vc_tpu.pipelines import convert as C
+
+    store = ArtifactStore(str(tmp_path))
+    wav = list_speaker_wavs(DATA, "SF1")[0]
+    C._DICTS_MEMO.clear()
+    r1 = convert_utterance(cfg, store, DATA, wav, nb_file=3, synth_iters=10)
+    assert len(C._DICTS_MEMO) == 1
+    r2 = convert_utterance(cfg, store, DATA, wav, nb_file=3, synth_iters=10)
+    np.testing.assert_allclose(r1.audio, r2.audio, atol=1e-6)
+    assert len(C._DICTS_MEMO) == 1
