@@ -58,22 +58,27 @@ class StreamingConverter:
         self.B = jnp.asarray(B, jnp.float32)
         self.context_frames = context_frames
         self.synth_iters = synth_iters
-        self._context_mag: np.ndarray | None = None   # converted left context
+        self._context_mag: jnp.ndarray | None = None  # converted left context (device)
         self._context_phase: jnp.ndarray | None = None  # converged phase seed
 
-    def _convert_block(self, X: np.ndarray) -> np.ndarray:
+    def _convert_block(self, X: np.ndarray) -> jnp.ndarray:
+        """Converted magnitude for a chunk — DEVICE-resident: synthesis
+        consumes it directly, so a push pays exactly one device→host
+        transfer (the audio). On the tunnel-attached TPU each avoided
+        round trip is ~30-45 ms of chunk latency."""
         st = _solve_activations(jnp.asarray(X, jnp.float32), self.A, self.cfg)
-        return np.asarray(convert_features(st.H, self.B))
+        return convert_features(st.H, self.B)
 
-    def _synthesize(self, mag_new: np.ndarray, phase_new=None) -> np.ndarray:
+    def _synthesize(self, mag_new, phase_new=None) -> np.ndarray:
         m = self.cfg.mcep
         hop = m.hop_length
+        mag_new = jnp.asarray(mag_new, jnp.float32)
         if self._context_mag is None:
             full = mag_new
             skip = 0
         else:
-            full = np.concatenate([self._context_mag, mag_new], axis=0)
-            skip = self._context_mag.shape[0]
+            full = jnp.concatenate([self._context_mag, mag_new], axis=0)
+            skip = int(self._context_mag.shape[0])
         init_phase = None
         if phase_new is not None:
             # seed GL with the incoming chunk's own phase (see dsp.griffin_lim:
@@ -91,7 +96,7 @@ class StreamingConverter:
                 ph = jnp.concatenate([ctx_ph, ph], axis=0)
             init_phase = ph
         y_full, final_phase = griffin_lim(
-            jnp.asarray(full, jnp.float32), n_fft=m.frame_length,
+            full, n_fft=m.frame_length,
             hop_length=hop, n_iter=self.synth_iters,
             length=full.shape[0] * hop, init_phase=init_phase,
             return_phase=True,
