@@ -106,16 +106,21 @@ class Converter:
         with Timer("batch-convert") as t:
             A, B = self.dicts["stft"]
             st = _solve_activations(X_all, A, cfg, x_prestacked=c > 0)
-            Y_all = np.asarray(convert_features(st.H, B))
+            # stays DEVICE-resident: per-utterance synthesis slices it on
+            # device, so the converted features never cross the host link
+            # (the multi-MB d2h + per-utterance re-uploads cost ~2 tunnel
+            # round trips each on the remote TPU)
+            Y_all = convert_features(st.H, B)
         results = []
         n_iter = int(st.n_iter)
-        per_utt = np.split(Y_all, splits, axis=0)
+        bounds = [0] + list(splits) + [Y_all.shape[0]]
+        per_utt = [Y_all[bounds[i]:bounds[i + 1]] for i in range(len(wav_paths))]
         iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
         solve_share = t.elapsed / len(wav_paths)   # amortized solve cost
         for (x, sr), Y, p, ph in zip(sigs, per_utt, wav_paths, phases):
             with Timer("synth") as ts:
                 audio = np.asarray(griffin_lim(
-                    jnp.asarray(Y), n_fft=cfg.mcep.frame_length,
+                    Y, n_fft=cfg.mcep.frame_length,
                     hop_length=cfg.mcep.hop_length, n_iter=iters, length=len(x),
                     init_phase=ph,
                 ))
