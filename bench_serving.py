@@ -109,6 +109,24 @@ def main():
     }
     log(f"serving: {serving}")
 
+    # ---- batch serving throughput -----------------------------------------
+    batch_utts = utts[:8]
+    conv.convert_batch(batch_utts, synth_iters=args.synth_iters)  # warm
+    batch_times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        res = conv.convert_batch(batch_utts, synth_iters=args.synth_iters)
+        batch_times.append(time.time() - t0)
+    bt = sorted(batch_times)[len(batch_times) // 2]
+    batch_audio = sum(read_wav(p)[0].shape[0] for p in batch_utts) / sr
+    batch = {
+        "n_utts": len(batch_utts),
+        "wall_s_median": round(bt, 3),
+        "per_utt_ms": round(1000 * bt / len(batch_utts), 1),
+        "rtf": round(batch_audio / bt, 1),
+    }
+    log(f"batch: {batch}")
+
     # ---- streaming chunk latency -------------------------------------------
     from exemplars_vc_tpu.pipelines.conv_dicts import extract_stft_features
 
@@ -145,6 +163,7 @@ def main():
         "synth_iters": args.synth_iters,
         "prepare_s": round(prepare_s, 2),
         "serving": serving,
+        "batch": batch,
         "streaming": streaming,
     })
     if args.out:
