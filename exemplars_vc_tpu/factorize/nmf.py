@@ -233,8 +233,20 @@ def prune_topk_refine(
         raise ValueError(f"unknown beta_loss {beta_loss!r}")
 
     h = jax.lax.fori_loop(0, n_iter, lambda _, hh: step(hh), h0)
-    resid = Xf - jnp.einsum("fk,fkd->fd", h, Af)
-    err = jnp.sqrt(jnp.sum(resid * resid))
+    # report the error in the SAME metric as nmf_activations for this
+    # beta_loss (Frobenius norm, or sqrt(2·D_KL) for KL) so NmfState.error
+    # stays comparable before/after enabling prune_topk
+    Yh = jnp.einsum("fk,fkd->fd", h, Af)
+    if beta_loss == "frobenius":
+        resid = Xf - Yh
+        err = jnp.sqrt(jnp.sum(resid * resid))
+    else:
+        Yh = jnp.maximum(Yh, 1.1920929e-07)
+        div = (jnp.sum(jnp.where(Xf > 0,
+                                 Xf * jnp.log(jnp.maximum(Xf, 1e-30) / Yh),
+                                 0.0))
+               - jnp.sum(Xf) + jnp.sum(Yh))
+        err = jnp.sqrt(jnp.maximum(2.0 * div, 0.0))
     Hs = jnp.zeros((F, K), out_dtype).at[
         jnp.arange(F)[:, None], idx].set(h.astype(out_dtype))
     return NmfState(Hs, jnp.int32(n_iter), err)

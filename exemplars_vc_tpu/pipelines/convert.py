@@ -86,8 +86,42 @@ def _stack_context(M: jnp.ndarray, c: int) -> jnp.ndarray:
         [M[jnp.clip(base + s, 0, N - 1)] for s in range(-c, c + 1)], axis=1)
 
 
+def _solve_mel_matrix(d_feat: int, cfg: Config) -> jnp.ndarray:
+    """Mel filterbank for the activation solve — the STFT grid is inferred
+    from the feature bin count (conversion H·B stays full-resolution; only
+    the activation estimate moves to mel)."""
+    from exemplars_vc_tpu.dsp import mel_filterbank
+
+    return jnp.asarray(mel_filterbank(cfg.data.sr, 2 * (d_feat - 1),
+                                      n_mels=cfg.nmf.solve_mels))
+
+
+def _preprocess_frames(X: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """The per-frame input preprocessing :func:`_solve_activations` applies
+    to X: mel projection (``nmf.solve_domain='mel'``) then context stacking
+    (``nmf.context_frames``). Exposed so ``serve.convert_batch`` can run it
+    PER UTTERANCE before concatenating frames — both steps only look at a
+    frame and its ±c neighbors, so per-utterance preprocessing keeps the
+    concatenated batch solve exactly equal to per-utterance conversion (no
+    mel/context mixing across utterance boundaries)."""
+    if cfg.nmf.solve_domain == "mel" and X.shape[1] > cfg.nmf.solve_mels:
+        X = X @ _solve_mel_matrix(X.shape[1], cfg).T
+    return _stack_context(X, cfg.nmf.context_frames)
+
+
+def _smooth_h(H: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Edge-clamped box filter along time — smooths frame-to-frame exemplar
+    switching before the conversion matmul (``nmf.h_smooth``)."""
+    if s <= 0:
+        return H
+    F = H.shape[0]
+    base = jnp.arange(F)
+    return sum(H[jnp.clip(base + d, 0, F - 1)]
+               for d in range(-s, s + 1)) / (2 * s + 1)
+
+
 def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
-                       x_prestacked: bool = False) -> NmfState:
+                       x_preprocessed: bool = False) -> NmfState:
     """Dispatch to the configured activation solver.
 
     nmf.solver: 'mu' (sklearn-parity multiplicative updates), 'mu_pallas'
@@ -97,9 +131,11 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
 
     nmf.context_frames > 0 stacks neighbor frames onto BOTH X and A before
     the solve; H keeps its (frames × K) shape, so conversion (H·B) is
-    untouched downstream. ``x_prestacked=True`` means the caller already
-    context-stacked X (e.g. per utterance, so a concatenated batch does not
-    mix context across utterance boundaries — ``serve.convert_batch``).
+    untouched downstream. ``x_preprocessed=True`` means the caller already
+    ran :func:`_preprocess_frames` on X (e.g. per utterance, so a
+    concatenated batch does not mix mel/context across utterance boundaries
+    — ``serve.convert_batch``); A still gets the full preprocessing here,
+    gated on A's ORIGINAL feature width (A and X always share it).
 
     Post-solve refinements (both beyond the reference's dense solver, both
     shape-preserving so conversion/residual/serving are untouched):
@@ -107,21 +143,13 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
     (hard per-frame sparsity); ``nmf.activation_power`` sharpens H with a
     per-frame gain refit."""
     c = cfg.nmf.context_frames
-    if cfg.nmf.solve_domain == "mel" and X.shape[1] > cfg.nmf.solve_mels:
-        if c > 0 and x_prestacked:
-            raise ValueError("solve_domain='mel' cannot re-project an "
-                             "already context-stacked X; stack after the "
-                             "projection (x_prestacked=False)")
-        from exemplars_vc_tpu.dsp import mel_filterbank
-
-        # infer the STFT grid from the bin count; conversion H·B stays
-        # full-resolution — only the activation estimate moves to mel
-        M = jnp.asarray(mel_filterbank(cfg.data.sr, 2 * (X.shape[1] - 1),
-                                       n_mels=cfg.nmf.solve_mels))
-        X = X @ M.T
+    if cfg.nmf.solve_domain == "mel" and A.shape[1] > cfg.nmf.solve_mels:
+        M = _solve_mel_matrix(A.shape[1], cfg)
+        if not x_preprocessed:
+            X = X @ M.T
         A = A @ M.T
     if c > 0:
-        if not x_prestacked:
+        if not x_preprocessed:
             X = _stack_context(X, c)
         A = _stack_context(A, c)
     st = _dispatch_solver(X, A, cfg)
@@ -140,14 +168,7 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
         # reconstruction comparable, and recomputing would add a matmul
         st = NmfState(H, st.n_iter, st.error)
     if cfg.nmf.h_smooth > 0:
-        s = cfg.nmf.h_smooth
-        F = st.H.shape[0]
-        base = jnp.arange(F)
-        # edge-clamped box filter along time — smooths frame-to-frame
-        # exemplar switching before the conversion matmul
-        Hsm = sum(st.H[jnp.clip(base + d, 0, F - 1)]
-                  for d in range(-s, s + 1)) / (2 * s + 1)
-        st = NmfState(Hsm, st.n_iter, st.error)
+        st = NmfState(_smooth_h(st.H, cfg.nmf.h_smooth), st.n_iter, st.error)
     return st
 
 
@@ -276,8 +297,11 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
     (config.DataConfig.dict_hop_divisor)."""
     from dataclasses import replace as _replace
 
+    # cfg.misc is part of the key: with nb_file=None the effective file count
+    # comes from cfg.misc.nb_file inside make_dictionary/build_conversion_dicts,
+    # and misc.cpu_rate changes the loaded audio
     memo_key = (store.root, data_path, nb_file,
-                repr(cfg.data), repr(cfg.mcep), repr(cfg.world))
+                repr(cfg.data), repr(cfg.mcep), repr(cfg.world), repr(cfg.misc))
     hit = _DICTS_MEMO.get(memo_key)
     if hit is not None:
         return hit

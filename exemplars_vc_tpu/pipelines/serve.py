@@ -63,6 +63,8 @@ class Converter:
 
         if not wav_paths:
             return []
+        if out_dir is not None:
+            _os.makedirs(out_dir, exist_ok=True)
         if self.kind != "stft":
             return [
                 self.convert(
@@ -93,27 +95,43 @@ class Converter:
                 phases.append(None)
                 mags.append(extract_stft_features(x, cfg))
         splits = np.cumsum([m.shape[0] for m in mags])[:-1]
-        # context stacking (nmf.context_frames) happens PER UTTERANCE here,
-        # so the concatenated solve cannot mix context across utterance
-        # boundaries — batch stays exactly ≡ per-utterance conversion
-        c = cfg.nmf.context_frames
-        if c > 0:
-            from exemplars_vc_tpu.pipelines.convert import _stack_context
+        # mel projection + context stacking (nmf.solve_domain/context_frames)
+        # happen PER UTTERANCE here, so the concatenated solve cannot mix
+        # mel/context across utterance boundaries — batch stays exactly
+        # ≡ per-utterance conversion
+        pre = cfg.nmf.context_frames > 0 or cfg.nmf.solve_domain == "mel"
+        if pre:
+            from exemplars_vc_tpu.pipelines.convert import _preprocess_frames
 
-            mags = [_stack_context(jnp.asarray(m, jnp.float32), c)
+            mags = [_preprocess_frames(jnp.asarray(m, jnp.float32), cfg)
                     for m in mags]
         X_all = jnp.concatenate([jnp.asarray(m, jnp.float32) for m in mags], axis=0)
+        bounds = [0] + list(splits) + [X_all.shape[0]]
         with Timer("batch-convert") as t:
             A, B = self.dicts["stft"]
-            st = _solve_activations(X_all, A, cfg, x_prestacked=c > 0)
+            # the temporal H box filter (nmf.h_smooth) must not smear
+            # activations across utterance boundaries in the stacked solve:
+            # solve with it off, then smooth each utterance's H slice
+            solve_cfg = cfg
+            if cfg.nmf.h_smooth > 0:
+                from dataclasses import replace as _replace
+
+                solve_cfg = _replace(cfg, nmf=_replace(cfg.nmf, h_smooth=0))
+            st = _solve_activations(X_all, A, solve_cfg, x_preprocessed=pre)
+            H = st.H
+            if cfg.nmf.h_smooth > 0:
+                from exemplars_vc_tpu.pipelines.convert import _smooth_h
+
+                H = jnp.concatenate(
+                    [_smooth_h(H[bounds[i]:bounds[i + 1]], cfg.nmf.h_smooth)
+                     for i in range(len(wav_paths))], axis=0)
             # stays DEVICE-resident: per-utterance synthesis slices it on
             # device, so the converted features never cross the host link
             # (the multi-MB d2h + per-utterance re-uploads cost ~2 tunnel
             # round trips each on the remote TPU)
-            Y_all = convert_features(st.H, B)
+            Y_all = convert_features(H, B)
         results = []
         n_iter = int(st.n_iter)
-        bounds = [0] + list(splits) + [Y_all.shape[0]]
         per_utt = [Y_all[bounds[i]:bounds[i + 1]] for i in range(len(wav_paths))]
         iters = synth_iters if synth_iters is not None else cfg.nmf.griffin_lim_iters
         solve_share = t.elapsed / len(wav_paths)   # amortized solve cost

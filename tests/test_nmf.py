@@ -256,6 +256,30 @@ def test_prune_topk_refine_kl_support():
     assert np.isfinite(np.asarray(st_full.H)).all()
 
 
+def test_prune_topk_refine_error_metric_matches_beta_loss():
+    """NmfState.error from prune_topk_refine must use the SAME metric as the
+    dense solver for the given beta_loss (Frobenius norm vs sqrt(2·D_KL)),
+    so before/after-pruning error comparisons stay meaningful."""
+    from exemplars_vc_tpu.factorize import prune_topk_refine
+
+    X, A = _problem(F=16, K=60, D=25, seed=11, dtype=np.float32)
+    Xj, Aj = jnp.asarray(X), jnp.asarray(A)
+
+    for beta in ("frobenius", "kullback-leibler"):
+        dense = nmf_activations(Xj, Aj, beta_loss=beta, tol=0.0, max_iter=100)
+        st = prune_topk_refine(Xj, Aj, dense.H, k=10, beta_loss=beta, n_iter=80)
+        H = np.asarray(st.H, np.float64)
+        Yh = H @ A
+        if beta == "frobenius":
+            expect = np.linalg.norm(X - Yh)
+        else:
+            Yc = np.maximum(Yh, np.float32(1.1920929e-07))
+            div = (np.where(X > 0, X * np.log(np.maximum(X, 1e-30) / Yc), 0.0).sum()
+                   - X.sum() + Yc.sum())
+            expect = np.sqrt(max(2.0 * div, 0.0))
+        np.testing.assert_allclose(float(st.error), expect, rtol=2e-3)
+
+
 def test_sharpen_activations_gain_refit():
     """γ=1: pure gain refit, s≈1 near the fixed point (reconstruction
     unchanged within tolerance); γ>1 keeps reconstruction bounded and

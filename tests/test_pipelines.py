@@ -313,6 +313,58 @@ def test_serve_batch_exact_with_context_frames(cfg, store, tmp_path):
     np.testing.assert_allclose(batch[1].audio, single.audio, atol=2e-4)
 
 
+def test_serve_batch_exact_with_h_smooth(cfg, store):
+    """nmf.h_smooth must not smear activations across utterance boundaries
+    in the stacked batch solve: convert_batch solves with smoothing off and
+    box-filters each utterance's H slice, so batch ≡ single exactly."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    cfg_s = replace(cfg, nmf=replace(cfg.nmf, h_smooth=2))
+    conv = Converter(cfg_s, store, DATA, nb_file=4)
+    paths = [os.path.join(DATA, "SF1", n) for n in ("100001.wav", "100002.wav")]
+    batch = conv.convert_batch(paths, synth_iters=10)
+    for i in range(2):
+        single = conv.convert(paths[i], synth_iters=10)
+        np.testing.assert_allclose(batch[i].audio, single.audio, atol=2e-4)
+
+
+def test_serve_batch_mel_domain_with_context(cfg, store):
+    """solve_domain='mel' + context_frames>0 used to raise in convert_batch;
+    now the mel projection and context stacking run per utterance, so the
+    combination works and stays ≡ single-utterance conversion."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    cfg_m = replace(cfg, nmf=replace(
+        cfg.nmf, solve_domain="mel", solve_mels=40, context_frames=1,
+        max_iter=30))
+    conv = Converter(cfg_m, store, DATA, nb_file=4)
+    paths = [os.path.join(DATA, "SF1", n) for n in ("100001.wav", "100002.wav")]
+    batch = conv.convert_batch(paths, synth_iters=10)
+    single = conv.convert(paths[1], synth_iters=10)
+    np.testing.assert_allclose(batch[1].audio, single.audio, atol=2e-4)
+
+
+def test_dicts_memo_keyed_on_misc(cfg, tmp_path):
+    """Two configs differing only in cfg.misc (file count via misc.nb_file)
+    must not collide in the prepared-dictionary memo."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.convert import _aligned_dicts
+
+    st = ArtifactStore(str(tmp_path / "memo_store"))
+    c2 = replace(cfg, misc=replace(cfg.misc, nb_file=2))
+    c3 = replace(cfg, misc=replace(cfg.misc, nb_file=3))
+    d2, _ = _aligned_dicts(c2, st, DATA, None)
+    d3, _ = _aligned_dicts(c3, st, DATA, None)
+    k2 = np.asarray(d2["stft"][0]).shape[0]
+    k3 = np.asarray(d3["stft"][0]).shape[0]
+    assert k3 > k2, (k2, k3)
+
+
 def test_vtlp_dictionary_augmentation():
     """data.dict_augment_warps: α=1 is identity; a warped copy moves a
     spectral peak to ~α·bin; f0 rows are tiled unwarped; every feature's
