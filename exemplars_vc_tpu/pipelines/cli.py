@@ -208,6 +208,31 @@ def cmd_eval_heldout(args):
     }))
 
 
+def cmd_eval_loo(args):
+    from exemplars_vc_tpu.pipelines.evaluate import evaluate_loo
+
+    cfg, store = _setup(args)
+    results, summary = evaluate_loo(
+        cfg, store, args.data,
+        configs=args.configs.split(",") if args.configs else None,
+        synth_iters=args.synth_iters,
+        include_levers=args.levers,
+        folds=args.folds.split(",") if args.folds else None,
+        audio_dir=args.audio_dir,
+    )
+    print(json.dumps({
+        "protocol": "leave-one-out: dictionaries from all pairs except the "
+                    "held-out utterance, converted + scored vs its true target",
+        "folds": [{"utt": f.utt,
+                   "no_conversion_mcd_db": round(f.no_conversion_mcd, 3),
+                   **{k: round(v, 3) for k, v in f.mcd.items()}}
+                  for f in results],
+        "summary": {k: {kk: (round(vv, 3) if isinstance(vv, float) else vv)
+                        for kk, vv in s.items()}
+                    for k, s in summary.items()},
+    }))
+
+
 def cmd_separate(args):
     """Source separation (the vendored-pyfasst capability, separate/)."""
     import numpy as np
@@ -359,6 +384,22 @@ def main(argv=None):
     p.add_argument("--synth-iters", type=int, default=None,
                    help="Griffin-Lim iterations (STFT path)")
     p.set_defaults(fn=cmd_eval_heldout)
+
+    p = sub.add_parser("eval-loo", help="8-fold leave-one-out evaluation: "
+                       "dictionaries from 7 pairs, convert + score the 8th")
+    _add_common(p)
+    p.add_argument("--configs", default=None,
+                   help="comma list of config names (default: the 4 canonical"
+                        " + levers when --levers)")
+    p.add_argument("--synth-iters", type=int, default=None)
+    p.add_argument("--levers", action="store_true",
+                   help="also evaluate the measured quality levers "
+                        "(VTLP augmentation, harvest f0)")
+    p.add_argument("--folds", default=None,
+                   help="comma list of utterance ids to fold (default all)")
+    p.add_argument("--audio-dir", default=None,
+                   help="write each converted wav as {config}_{utt}.wav")
+    p.set_defaults(fn=cmd_eval_loo)
 
     p = sub.add_parser("separate", help="multichannel NMF source separation "
                                         "(FASST-class, separate/)")

@@ -184,6 +184,21 @@ def _dispatch_solver(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
         return nmf_activations(X, A, beta_loss=cfg.nmf.beta_loss,
                                tol=cfg.nmf.tol, max_iter=cfg.nmf.max_iter,
                                work_dtype=work, l1=cfg.nmf.sparsity_l1)
+    if solver == "mu_sharded":
+        # production multi-chip composition: the exemplar dictionary (and H)
+        # sharded over every available device's `dict` mesh axis, one (F, D)
+        # psum per MU iteration riding ICI (parallel/sharded_nmf.py). H stays
+        # device-sharded; downstream conversion/residual matmuls run under
+        # the same sharding (XLA inserts the collectives). Frobenius only —
+        # the sharded solver implements the Frobenius MU update.
+        from exemplars_vc_tpu.parallel import make_mesh, sharded_nmf_activations
+
+        n = len(jax.devices())
+        while A.shape[0] % n:     # shard count must divide K (K is padded to
+            n -= 1                # a 512 multiple, so this is for tiny dicts)
+        mesh = make_mesh(data=1, dict_=n)
+        return sharded_nmf_activations(X, A, mesh, tol=cfg.nmf.tol,
+                                       max_iter=cfg.nmf.max_iter)
     if solver == "mu_pallas":
         from exemplars_vc_tpu.factorize.nmf_pallas import nmf_activations_pallas
 

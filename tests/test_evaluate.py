@@ -139,3 +139,29 @@ def test_sync_stages_timing_keys(cfg, tmp_path):
                                  synth_iters=5, sync_stages=True)
     assert "nmf_solve" in res_sync.timings
     assert "synthesis" in res_sync.timings
+
+
+def test_evaluate_loo_two_folds(cfg, tmp_path):
+    """Bounded LOO smoke/gate: two folds, stft_quality only. Each fold's
+    dictionary excludes the held-out pair (7 pairs), and the fold-mean must
+    beat the no-conversion anchor mean by ≥ 0.8 dB (the full 8-fold TPU run
+    is recorded in BENCHMARKS §leave-one-out)."""
+    from exemplars_vc_tpu.io import ArtifactStore
+    from exemplars_vc_tpu.pipelines.evaluate import evaluate_loo
+
+    store = ArtifactStore(str(tmp_path / "loo_store"))
+    results, summary = evaluate_loo(
+        cfg, store, DATA, configs=["stft_quality"], synth_iters=20,
+        folds=["100001", "100005"],
+        audio_dir=str(tmp_path / "loo_audio"))
+    assert [f.utt for f in results] == ["100001", "100005"]
+    s = summary["stft_quality"]
+    assert s["n"] == 2
+    assert s["mean"] < s["anchor_mean"] - 0.8, summary
+    assert s["folds_beating_anchor"] == 2
+    # listening artifacts written per fold
+    assert os.path.isfile(str(tmp_path / "loo_audio" / "stft_quality_100001.wav"))
+    # the fold dictionary really excludes the held-out pair: 7 symlinks
+    fold_dir = os.path.join(store.root, "loo", "data_wo_100001", "SF1")
+    wavs = [n for n in os.listdir(fold_dir) if n.endswith(".wav")]
+    assert len(wavs) == 7 and "100001.wav" not in wavs

@@ -261,6 +261,29 @@ def test_convert_solver_variants(store, tmp_path, solver):
     assert np.isfinite(res.converted["stft"]).all()
 
 
+def test_convert_solver_mu_sharded_matches_mu(store, tmp_path):
+    """nmf.solver=mu_sharded (dictionary K axis sharded over every device,
+    one psum per MU iteration) is the production multi-chip composition; on
+    the 8-virtual-device mesh its conversion must match the single-device
+    Frobenius mu solver bit-for-bit up to float reduction order."""
+    base = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=2", "nmf.max_iter=40", "nmf.tol=0",
+    ])
+    from dataclasses import replace
+
+    res_mu = convert_utterance(
+        base, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
+        nb_file=2, synth_iters=5)
+    cfg_sh = replace(base, nmf=replace(base.nmf, solver="mu_sharded"))
+    res_sh = convert_utterance(
+        cfg_sh, store, DATA, os.path.join(DATA, "SF1", "100001.wav"),
+        nb_file=2, synth_iters=5)
+    Y1 = np.asarray(res_mu.converted["stft"])
+    Y2 = np.asarray(res_sh.converted["stft"])
+    np.testing.assert_allclose(Y2, Y1, rtol=2e-3, atol=2e-3)
+    assert np.isfinite(res_sh.audio).all()
+
+
 def test_serve_convert_batch_matches_single(cfg, store, tmp_path):
     from exemplars_vc_tpu.pipelines.serve import Converter
 
