@@ -236,6 +236,7 @@ def train_warping_net(
         def place_batch(x, y, m):
             return x, y, m
     rng = np.random.default_rng(seed + 1)
+    steps_run = 0
     with Timer("train") as t_total:
         for epoch in range(cfg.net.nb_epoch):
             order = rng.permutation(n_train)
@@ -252,6 +253,7 @@ def train_warping_net(
                     params, opt_state, bx, by, bm, optimizer
                 )
                 tr_loss += float(loss)
+                steps_run += 1
             te_loss = float(_eval_loss(params, xs_te, ys_te, m_te))
             per_frame = te_loss / max(float(m_te.sum()), 1.0)
             history.append({"epoch": epoch, "train_loss": float(tr_loss),
@@ -281,6 +283,16 @@ def train_warping_net(
         "best_test_loss": float(best_loss),
         "final_test_l1_per_frame": history[-1]["test_l1_per_frame"],
         "train_seconds": t_total.elapsed,
+        # training-throughput telemetry (BASELINE eval config 4): optimizer
+        # steps and epochs per wall second, and the wall time to the best
+        # checkpoint — the reference trains one step per utterance per epoch
+        # with no timing at all (02_freq_warping_neural.py:161-191)
+        "steps_run": steps_run,
+        "steps_per_s": round(steps_run / max(t_total.elapsed, 1e-9), 2),
+        "epochs_per_s": round(len(history) / max(t_total.elapsed, 1e-9), 3),
+        "seconds_to_best": round(
+            t_total.elapsed * (best_epoch + 1) / max(len(history), 1), 2),
+        "minibatch_utterances": mb,
         "checkpoint": ckpt_name,
         "run_dir": run_dir,
         "history": history,

@@ -264,6 +264,44 @@ def _vtlp_warp(M: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return M[:, lo] * (1.0 - w) + M[:, hi] * w
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("warps",))
+def _vtlp_expand_pair(A: jnp.ndarray, B: jnp.ndarray,
+                      warps: tuple[float, ...]) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[A; warp_α1(A); …] for both dictionaries in ONE jitted dispatch.
+
+    Each VTLP warp is a (D, D) linear interpolation operator, so the whole
+    expansion is one batched matmul ``einsum('skd,wde->wske')`` over the
+    stacked (2, K, D) pair — MXU-shaped and a single tunnel round trip,
+    where per-α eager gathers cost ~27 ms dispatch EACH on this backend
+    (a 14-warp production-scale expansion would pay ~30 of them)."""
+    D = A.shape[1]
+    cols = jnp.arange(D)
+    mats = [jnp.eye(D, dtype=A.dtype)]
+    for a in warps:
+        src = jnp.clip(cols / a, 0.0, D - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, D - 1)
+        w = (src - lo).astype(A.dtype)
+        P = (jnp.zeros((D, D), A.dtype)
+             .at[lo, cols].add(1.0 - w)
+             .at[hi, cols].add(w))
+        mats.append(P)
+    S = jnp.stack(mats)                      # (W+1, D, D)
+    M = jnp.stack([A, B])                    # (2, K, D)
+    out = jnp.einsum("skd,wde->swke", M, S)  # (2, W+1, K, D)
+    K = A.shape[0]
+    return out[0].reshape((1 + len(warps)) * K, D), \
+        out[1].reshape((1 + len(warps)) * K, D)
+
+
+@_partial(jax.jit, static_argnames=("n",))
+def _tile_pair(A: jnp.ndarray, B: jnp.ndarray, n: int):
+    return jnp.concatenate([A] * n), jnp.concatenate([B] * n)
+
+
 def _augment_dicts(dicts: dict, warps: tuple[float, ...]) -> dict:
     """Vocal-tract-length-perturbation dictionary augmentation: append
     frequency-warped copies of every spectral exemplar pair (source and
@@ -277,13 +315,9 @@ def _augment_dicts(dicts: dict, warps: tuple[float, ...]) -> dict:
     for name, (A, B) in dicts.items():
         Aj, Bj = jnp.asarray(A), jnp.asarray(B)
         if name == "f0" or Aj.shape[1] < 8:
-            out[name] = (jnp.concatenate([Aj] * (1 + len(warps))),
-                         jnp.concatenate([Bj] * (1 + len(warps))))
+            out[name] = _tile_pair(Aj, Bj, 1 + len(warps))
         else:
-            out[name] = (
-                jnp.concatenate([Aj] + [_vtlp_warp(Aj, a) for a in warps]),
-                jnp.concatenate([Bj] + [_vtlp_warp(Bj, a) for a in warps]),
-            )
+            out[name] = _vtlp_expand_pair(Aj, Bj, warps)
     return out
 
 

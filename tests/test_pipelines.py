@@ -412,6 +412,16 @@ def test_vtlp_dictionary_augmentation():
     aug = _augment_dicts(dicts, (0.9, 1.1))
     assert aug["sp"][0].shape == (12, 201) and aug["sp"][1].shape == (12, 201)
     assert aug["f0"][0].shape == (12, 1)
+    # the fused single-dispatch expansion ≡ [M; warp_α(M)…] per-α gathers
+    Aa = np.asarray(aug["sp"][0])
+    np.testing.assert_allclose(Aa[:4], A, atol=1e-6)
+    np.testing.assert_allclose(Aa[4:8], np.asarray(_vtlp_warp(jnp.asarray(A), 0.9)),
+                               atol=1e-4)
+    np.testing.assert_allclose(Aa[8:], np.asarray(_vtlp_warp(jnp.asarray(A), 1.1)),
+                               atol=1e-4)
+    Bb = np.asarray(aug["sp"][1])
+    np.testing.assert_allclose(Bb[4:8], np.asarray(_vtlp_warp(jnp.asarray(B), 0.9)),
+                               atol=1e-4)
     np.testing.assert_allclose(np.asarray(aug["sp"][0][:4]), A, atol=1e-6)
     np.testing.assert_allclose(np.asarray(aug["f0"][0]), np.tile(f0, (3, 1)))
 
