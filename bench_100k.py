@@ -113,6 +113,34 @@ def main():
     n_w = len([w for w in args.warps.split(",") if w.strip()])
     k_exemplars = (1 + n_w) * 7680   # 8 bundled pairs pad to 7,680 per copy
 
+    # batch-vs-serial serving at production K: the stacked convert_batch
+    # solve amortizes the NMF across utterances, a win that grows with K
+    # (at the 7.7k dictionary it LOSES to serial — BENCHMARKS §serving);
+    # this measures whether 100k+ K is the regime where batch pays.
+    from exemplars_vc_tpu.pipelines.serve import Converter
+
+    tmpb = tempfile.mkdtemp(prefix="evc_100k_serve_")
+    conv = Converter(cfg, ArtifactStore(tmpb), DATA, nb_file=8)
+    batch_utts = list_speaker_wavs(DATA, "SF1")[:4]
+    conv.convert_batch(batch_utts, synth_iters=60)        # warm
+    for p in batch_utts:
+        conv.convert(p, synth_iters=60)                   # warm serial shapes
+    t0 = time.time()
+    conv.convert_batch(batch_utts, synth_iters=60)
+    batch_s = time.time() - t0
+    t0 = time.time()
+    for p in batch_utts:
+        conv.convert(p, synth_iters=60)
+    serial_s = time.time() - t0
+    shutil.rmtree(tmpb, ignore_errors=True)
+    serving = {
+        "n_utts": len(batch_utts), "synth_iters": 60,
+        "batch_per_utt_ms": round(1000 * batch_s / len(batch_utts), 1),
+        "serial_per_utt_ms": round(1000 * serial_s / len(batch_utts), 1),
+        "batch_speedup": round(serial_s / batch_s, 2),
+    }
+    log(f"serving at K={k_exemplars}: {serving}")
+
     hot = sorted(hots)[len(hots) // 2]
     payload = {
         "metric": f"audio-seconds/s per chip, {k_exemplars}-exemplar "
@@ -129,6 +157,7 @@ def main():
                                 for k, v in res_sync.timings.items()},
             "heldout_mcd_db": round(heldout_mcd, 3),
             "nmf_iters": int(res_sync.n_iter),
+            "serving_batch_vs_serial": serving,
             "platform": platform,
         },
     }
