@@ -16,7 +16,7 @@ import numpy as np
 
 from exemplars_vc_tpu.config import Config
 from exemplars_vc_tpu.dsp import stft
-from exemplars_vc_tpu.io import ArtifactStore, load_speaker, stack_ragged
+from exemplars_vc_tpu.io import ArtifactStore, load_speaker
 from exemplars_vc_tpu.obs import Timer, get_logger
 
 
@@ -131,6 +131,75 @@ def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray
     }
 
 
+@lru_cache(maxsize=8)
+def _world_batch(sr: int, frame_period_ms: float, f0_floor: float,
+                 f0_ceil: float, fft_size: int, refine: bool, method: str,
+                 t_pad: int):
+    """One jitted vmapped WORLD analysis (+ trim/mask) for a speaker batch.
+
+    The per-utterance path compiles the full analysis stack (f0 estimator +
+    stonemask + CheapTrick + D4C) once per utterance-length BUCKET — through
+    this environment's remote-compile tunnel that is minutes per shape, and
+    a leave-one-out sweep touches many buckets. One vmapped call = ONE
+    compile per (N, T_pad) speaker shape, and the batch pipelines on device
+    instead of dispatching per utterance. Trim + padding mask live inside
+    the jit (lens rides the call RPC; eager ops are ~27 ms dispatch each)."""
+    import jax
+
+    from exemplars_vc_tpu.world import analyze
+
+    @jax.jit
+    def fn(xb, lens):
+        def one(x):
+            res = analyze(
+                x, sr=sr, frame_period_ms=frame_period_ms,
+                f0_floor=f0_floor, f0_ceil=f0_ceil, fft_size=fft_size,
+                refine_f0=refine, f0_method=method,
+            )
+            return res.f0, res.sp, res.ap
+
+        f0_b, sp_b, ap_b = jax.vmap(one)(xb)
+        mask = jnp.arange(t_pad)[None, :] < lens[:, None]
+
+        def shape_to_store(a):
+            a = (a[:, :t_pad] if a.shape[1] >= t_pad else jnp.pad(
+                a, ((0, 0), (0, t_pad - a.shape[1])) + ((0, 0),) * (a.ndim - 2)))
+            return a * mask[(...,) + (None,) * (a.ndim - 2)]
+
+        return (shape_to_store(f0_b)[..., None], shape_to_store(sp_b),
+                shape_to_store(ap_b))
+
+    return fn
+
+
+def extract_world_features_stacked(
+    sigs: list[np.ndarray], cfg: Config
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """WORLD sp/ap/f0 for all utterances in ONE vmapped dispatch.
+
+    Returns ``({"sp","ap","f0"}: (N, T_pad, D) zero-padded, lens)`` in
+    exactly the :func:`exemplars_vc_tpu.io.stack_ragged` layout the store
+    format uses. Signals are padded to a common bucketed length (same
+    bucketing rule as the per-utterance path, extended to the speaker max),
+    frames beyond each utterance's true count are zeroed."""
+    w = cfg.world
+    hop = int(round(cfg.data.sr * w.frame_period_ms / 1000.0))
+    step = hop * cfg.data.frame_bucket
+    max_len = max(len(s) for s in sigs)
+    target = ((max_len + step - 1) // step) * step
+    batch = np.zeros((len(sigs), target), dtype=np.float32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    lens = np.asarray([len(s) // hop + 1 for s in sigs], np.int32)
+    t_pad = ((int(lens.max()) + cfg.data.frame_bucket - 1)
+             // cfg.data.frame_bucket) * cfg.data.frame_bucket
+
+    fn = _world_batch(cfg.data.sr, w.frame_period_ms, w.f0_floor, w.f0_ceil,
+                      w.fft_size, w.f0_is_refined, w.f0_method, t_pad)
+    f0_b, sp_b, ap_b = fn(batch, lens)
+    return {"sp": sp_b, "ap": ap_b, "f0": f0_b}, lens
+
+
 def build_conversion_dicts(
     cfg: Config,
     store: ArtifactStore,
@@ -168,13 +237,10 @@ def build_conversion_dicts(
             # via the store's async writer (d2h off the critical path)
             store.save(key, lens=lens, stft=stacked.astype(jnp.float16))
         else:
-            per_utt = [extract_world_features(s, cfg) for s in sigs]
-            feats = {}
-            lens = None
-            for name in ("sp", "ap", "f0"):
-                stacked, lens = stack_ragged([u[name] for u in per_utt],
-                                             bucket=cfg.data.frame_bucket)
-                feats[name] = stacked
+            # whole speaker in one vmapped WORLD analysis: one compile per
+            # (N, T_pad) shape instead of one per utterance-length bucket
+            # (minutes each through the remote-compile tunnel)
+            feats, lens = extract_world_features_stacked(sigs, cfg)
             store.save(key, lens=lens, **feats)
     log.info("%s features for %s (%d utts) in %.2fs", kind, speaker, len(sigs), t.elapsed)
     return ConversionFeatures(kind=kind, feats=feats, lens=lens)
