@@ -109,13 +109,19 @@ def extract_stft_features_stacked(
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
     """WORLD features for one utterance (signal length bucketed so jit shapes
-    repeat; frames trimmed back to the true count)."""
+    repeat; frames trimmed back to the true count).
+
+    The bucket is 8× coarser than the STFT path's: the WORLD analysis stack
+    is by far the most expensive compile in the pipeline (minutes per shape
+    through the remote-compile tunnel), so trading ≤1 bucket of wasted
+    analysis compute (~0.06 s/2 s-audio on the chip) for 1-2 total compile
+    shapes across a whole corpus is strongly net-positive."""
     from exemplars_vc_tpu.io.store import bucketed_signal
     from exemplars_vc_tpu.world import analyze
 
     w = cfg.world
     hop = int(round(cfg.data.sr * w.frame_period_ms / 1000.0))
-    padded, _ = bucketed_signal(sig, hop, cfg.data.frame_bucket)
+    padded, _ = bucketed_signal(sig, hop, cfg.data.frame_bucket * 8)
     res = analyze(
         jnp.asarray(padded, jnp.float32), sr=cfg.data.sr,
         frame_period_ms=w.frame_period_ms,
