@@ -108,33 +108,27 @@ def extract_stft_features_stacked(
 
 
 def extract_world_features(sig: np.ndarray, cfg: Config) -> dict[str, np.ndarray]:
-    """WORLD features for one utterance (signal length bucketed so jit shapes
-    repeat; frames trimmed back to the true count).
+    """WORLD features for one utterance — via the BATCHED (N=1) analysis.
 
-    The bucket is 8× coarser than the STFT path's: the WORLD analysis stack
-    is by far the most expensive compile in the pipeline (minutes per shape
-    through the remote-compile tunnel), so trading ≤1 bucket of wasted
-    analysis compute (~0.06 s/2 s-audio on the chip) for 1-2 total compile
-    shapes across a whole corpus is strongly net-positive."""
-    from exemplars_vc_tpu.io.store import bucketed_signal
-    from exemplars_vc_tpu.world import analyze
+    Two reasons this routes through :func:`extract_world_features_stacked`
+    rather than calling ``analyze`` on the bare (T,) signal: (1) the bucket
+    is 8× coarser than the STFT path's, so a whole corpus of inputs needs
+    1-2 compile shapes (the WORLD stack is minutes-per-shape through the
+    remote-compile tunnel); (2) the unbatched analysis HLO has been observed
+    to compile pathologically slowly on this backend (>50 min without
+    completing), while the identical computation under ``vmap`` compiles in
+    ~4 min — so the single-utterance path reuses the vmapped program at
+    batch size 1. Returns device-resident arrays trimmed to the true frame
+    count; downstream solvers consume them on device."""
+    from dataclasses import replace as _replace
 
     w = cfg.world
     hop = int(round(cfg.data.sr * w.frame_period_ms / 1000.0))
-    padded, _ = bucketed_signal(sig, hop, cfg.data.frame_bucket * 8)
-    res = analyze(
-        jnp.asarray(padded, jnp.float32), sr=cfg.data.sr,
-        frame_period_ms=w.frame_period_ms,
-        f0_floor=w.f0_floor, f0_ceil=w.f0_ceil,
-        fft_size=w.fft_size, refine_f0=w.f0_is_refined,
-        f0_method=w.f0_method,
-    )
+    coarse = _replace(cfg, data=_replace(cfg.data,
+                                         frame_bucket=cfg.data.frame_bucket * 8))
+    feats, lens = extract_world_features_stacked([sig], coarse)
     n = len(sig) // hop + 1
-    return {
-        "sp": np.asarray(res.sp)[:n],
-        "ap": np.asarray(res.ap)[:n],
-        "f0": np.asarray(res.f0)[:n, None],
-    }
+    return {name: feats[name][0, :n] for name in ("sp", "ap", "f0")}
 
 
 @lru_cache(maxsize=8)
