@@ -138,6 +138,14 @@ class NmfConfig:
     # iterations at K=100k, equal at K=7.4k); explicit: "mu" | "mu_pallas" |
     # "cd"/"nnls" | "qr"
     solver: str = "auto"
+    # FISTA budget for the 'cd'/'nnls' solver. 0 = auto: 10 × max_iter —
+    # one sklearn-cd "iteration" is a full SWEEP of K coordinate updates,
+    # so matching its objective needs ~10× as many FISTA steps (measured on
+    # the bundled problem: sklearn cd at 200 sweeps reaches ‖X−HA‖ = 58.98;
+    # FISTA 200: 65.61, 1500: 59.16, 2000: ~59.0, 4000: 58.80 — each FISTA
+    # step is two MXU matmuls, so the larger count is still far cheaper on
+    # TPU than a sequential coordinate sweep). PARITY.md C12.
+    nnls_iters: int = 0
     griffin_lim_iters: int = 300    # reference 04_align_n_nmf.py:187
     # Griffin-Lim phase seed: "source" starts from the input utterance's own
     # phase (same frame grid as the converted magnitude — real group delay /

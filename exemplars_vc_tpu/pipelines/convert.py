@@ -208,9 +208,13 @@ def _dispatch_solver(X: jnp.ndarray, A: jnp.ndarray, cfg: Config) -> NmfState:
                                       max_iter=cfg.nmf.max_iter,
                                       interpret=interpret)
     if solver in ("cd", "nnls"):
-        H = nnls_activations(X, A, n_iter=max(cfg.nmf.max_iter, 200))
+        # one sklearn-cd "iteration" is a full K-coordinate sweep; matching
+        # its objective takes ~10× as many FISTA steps (each two MXU
+        # matmuls — see config.NmfConfig.nnls_iters and PARITY.md C12)
+        n_iter = cfg.nmf.nnls_iters or 10 * max(cfg.nmf.max_iter, 20)
+        H = nnls_activations(X, A, n_iter=n_iter)
         err = jnp.linalg.norm(X - H @ A)
-        return NmfState(H, jnp.int32(max(cfg.nmf.max_iter, 200)), err)
+        return NmfState(H, jnp.int32(n_iter), err)
     if solver in ("qr", "qrmf"):
         H = jnp.maximum(qr_activations(X, A), 0.0)
         err = jnp.linalg.norm(X - H @ A)

@@ -64,9 +64,11 @@ def main():
         X=X, H=A, init="custom", update_H=False, n_components=A.shape[0],
         beta_loss="frobenius", solver="cd", tol=1e-4, max_iter=200)
 
-    H_fista = np.asarray(nnls_activations(
-        jnp.asarray(X, jnp.float32), jnp.asarray(A, jnp.float32), n_iter=200),
-        np.float64)
+    Xj, Aj = jnp.asarray(X, jnp.float32), jnp.asarray(A, jnp.float32)
+    H_fista = np.asarray(nnls_activations(Xj, Aj, n_iter=200), np.float64)
+    # the production budget: one cd "iteration" is a K-coordinate SWEEP, so
+    # the solver dispatch runs 10× max_iter FISTA steps (config.nnls_iters)
+    H_conv = np.asarray(nnls_activations(Xj, Aj, n_iter=2000), np.float64)
 
     def rel(a, b):
         return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30))
@@ -85,6 +87,7 @@ def main():
             hop_length=cfg.mcep.hop_length, n_iter=100, length=len(x)))
         return float(mcd_between_signals(audio, tar_sig, cfg))
 
+    Y_conv = H_conv @ B
     out = {
         "problem": {"F": X.shape[0], "D": X.shape[1], "K": A.shape[0],
                     "sklearn_cd_n_iter": int(n_iter_cd)},
@@ -92,12 +95,16 @@ def main():
         "H_row_cosine_mean": row_cosine(H_fista, H_cd),
         "converted_rel_frobenius_vs_cd": rel(Y_fista, Y_cd),
         "objective_cd": float(np.linalg.norm(X - H_cd @ A)),
-        "objective_fista": float(np.linalg.norm(X - H_fista @ A)),
+        "objective_fista_200": float(np.linalg.norm(X - H_fista @ A)),
+        "objective_fista_2000": float(np.linalg.norm(X - H_conv @ A)),
+        "converted_rel_frobenius_vs_cd_2000": rel(Y_conv, Y_cd),
+        "H_row_cosine_mean_2000": row_cosine(H_conv, H_cd),
         "heldout_mcd_db_cd": synth_mcd(Y_cd),
-        "heldout_mcd_db_fista": synth_mcd(Y_fista),
+        "heldout_mcd_db_fista_200": synth_mcd(Y_fista),
+        "heldout_mcd_db_fista_2000": synth_mcd(Y_conv),
     }
-    out["heldout_mcd_delta_db"] = round(
-        out["heldout_mcd_db_fista"] - out["heldout_mcd_db_cd"], 4)
+    out["heldout_mcd_delta_db_2000"] = round(
+        out["heldout_mcd_db_fista_2000"] - out["heldout_mcd_db_cd"], 4)
     print(json.dumps(out, indent=1))
 
 
