@@ -220,6 +220,11 @@ def build_conversion_dicts(
     else:
         fp = cfg.world.frame_period_ms
         hop_tag = "" if fp == 5.0 else f"_fp{fp:g}"
+        # the f0 estimator changes every WORLD feature (f0 feeds CheapTrick
+        # and D4C): non-default estimators get their own artifacts so a
+        # harvest config can never silently reuse dio-extracted features
+        if cfg.world.f0_method != "dio":
+            hop_tag += f"_{cfg.world.f0_method}"
     key = f"conv_feats_{speaker}_{kind}_{nb}{hop_tag}"
     if store.has(key):
         log.info("conversion-feature cache hit: %s", key)
