@@ -388,6 +388,25 @@ def test_dicts_memo_keyed_on_misc(cfg, tmp_path):
     assert k3 > k2, (k2, k3)
 
 
+def test_conv_feats_key_includes_f0_method(tmp_path):
+    """A harvest config must never silently reuse dio-extracted WORLD
+    features from the store (f0 feeds CheapTrick/D4C, so every feature
+    changes with the estimator)."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+
+    st = ArtifactStore(str(tmp_path / "f0key_store"))
+    base = load_config(overrides=[
+        "data.tar=TF1", "misc.nb_file=2", "data.use_stft=false"])
+    f_dio = build_conversion_dicts(base, st, DATA, "SF1", nb_file=2)
+    harv = replace(base, world=replace(base.world, f0_method="harvest"))
+    f_h = build_conversion_dicts(harv, st, DATA, "SF1", nb_file=2)
+    d_dio = np.asarray(f_dio.feats["f0"])
+    d_h = np.asarray(f_h.feats["f0"])
+    assert not np.allclose(d_dio, d_h), "harvest hit the dio cache"
+
+
 def test_vtlp_dictionary_augmentation():
     """data.dict_augment_warps: α=1 is identity; a warped copy moves a
     spectral peak to ~α·bin; f0 rows are tiled unwarped; every feature's
