@@ -226,7 +226,14 @@ def build_conversion_dicts(
         if cfg.world.f0_method != "dio":
             hop_tag += f"_{cfg.world.f0_method}"
     key = f"conv_feats_{speaker}_{kind}_{nb}{hop_tag}"
-    if store.has(key):
+    # the STFT magnitude batch is a VIRTUAL artifact: recomputing it costs
+    # one jitted dispatch (~10 ms with the in-process speaker cache), while
+    # persisting it shipped a multi-MB float16 batch through the ~20 MB/s
+    # device→host tunnel whose transfer contended with the next pipeline
+    # stage (measured 0.41 s of the 0.67 s fenced dicts stage,
+    # tools/profile_dicts.py). WORLD features stay persisted — their
+    # analysis is the expensive part, not the bytes.
+    if kind != "stft" and store.has(key):
         log.info("conversion-feature cache hit: %s", key)
         z = store.load(key)
         lens = z.pop("lens")
@@ -238,9 +245,6 @@ def build_conversion_dicts(
         if kind == "stft":
             stacked, lens = extract_stft_features_stacked(sigs, cfg)
             feats = {"stft": stacked}
-            # the device batch feeds the pipeline; the float16 artifact lands
-            # via the store's async writer (d2h off the critical path)
-            store.save(key, lens=lens, stft=stacked.astype(jnp.float16))
         else:
             # whole speaker in one vmapped WORLD analysis: one compile per
             # (N, T_pad) shape instead of one per utterance-length bucket
