@@ -66,14 +66,13 @@ class DemixEstimate(NamedTuple):
         freqs: (F,) frequencies in CYCLES PER SAMPLE (bin / n_fft);
         a_j(f) = [cosθ_j, sinθ_j · e^{-i2πf δ_j}]  (pyfasst
         ``steeringVectorsFromCentroids``, ``demixTF.py:905-943``).
-        """
-        freqs = jnp.asarray(freqs, jnp.float32)
-        th = jnp.asarray(self.theta, jnp.float32)[:, None]
-        dl = jnp.asarray(self.delay, jnp.float32)[:, None]
-        phase = jnp.exp(-2j * jnp.pi * freqs[None, :] * dl)
-        a0 = jnp.broadcast_to(jnp.cos(th), phase.shape).astype(jnp.complex64)
-        a1 = (jnp.sin(th) * phase).astype(jnp.complex64)
-        return jnp.stack([a0, a1], axis=-1)
+        Runs as one jitted program — eager complex ops are unimplemented on
+        this backend (separate/glue.py)."""
+        from exemplars_vc_tpu.separate.glue import anechoic_steering
+
+        return anechoic_steering(jnp.asarray(self.theta, jnp.float32),
+                                 jnp.asarray(self.delay, jnp.float32),
+                                 jnp.asarray(freqs, jnp.float32))
 
     def spatial_init(self, freqs: np.ndarray, diffuse: float = 0.05) -> jnp.ndarray:
         """Rank-1-plus-diffuse spatial covariances R_j(f) — (J, F, 2, 2).
@@ -82,13 +81,10 @@ class DemixEstimate(NamedTuple):
         anechoic model regularized so EM can still move (a pure rank-1 init
         is a fixed point of zero-variance directions).
         """
-        a = self.steering_vectors(freqs)                       # (J,F,2)
-        aaH = a[..., :, None] * jnp.conj(a)[..., None, :]
-        tr = jnp.maximum(jnp.real(jnp.trace(aaH, axis1=-2, axis2=-1)), _EPS)
-        C = a.shape[-1]
-        aaH = aaH * (C / tr)[..., None, None]
-        eye = jnp.eye(C, dtype=jnp.complex64)
-        return ((1.0 - diffuse) * aaH + diffuse * eye).astype(jnp.complex64)
+        from exemplars_vc_tpu.separate.glue import steering_to_spatial
+
+        return steering_to_spatial(self.steering_vectors(freqs),
+                                   jnp.float32(diffuse))
 
 
 def _box_smooth(M: jnp.ndarray, kf: int, kn: int) -> jnp.ndarray:
@@ -209,13 +205,13 @@ def demix(
     otherwise the top-``n_sources``) → device centroid refinement → one
     matmul delay search per cluster over ±``max_delay`` samples.
     """
-    from exemplars_vc_tpu.dsp.stft import stft
+    from exemplars_vc_tpu.separate.glue import stft_stack
 
     x = jnp.asarray(x, jnp.float32)
     if x.ndim != 2 or x.shape[0] != 2:
         raise ValueError(f"demix expects a stereo signal (2, T), got {x.shape}")
-    S = stft(x, n_fft=n_fft, hop_length=hop_length)     # (2, frames, bins)
-    X = jnp.transpose(S, (2, 1, 0))                      # (F, N, 2)
+    # complex glue must be jitted on this backend (separate/glue.py)
+    X = stft_stack(x, n_fft, hop_length, fnc=True)       # (F, N, 2)
     kf, kn = neighborhood
 
     theta, phase, conf, hist = _tf_features(X, kf, kn, n_bins)

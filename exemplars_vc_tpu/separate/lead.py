@@ -208,16 +208,17 @@ def separate_lead(
     x: (C, T) or (T,) audio. Frames whose lead share of model power is
     below ``voicing_threshold`` report f0 = 0 (unvoiced).
     """
-    from exemplars_vc_tpu.dsp.stft import istft, stft
+    from exemplars_vc_tpu.separate.glue import (
+        masked_istft, mean_power, stft_stack)
     from exemplars_vc_tpu.separate.isnmf import sf_nmf
 
     x = jnp.asarray(x, jnp.float32)
     if x.ndim == 1:
         x = x[None, :]
     C, T = x.shape
-    S = stft(x, n_fft=n_fft, hop_length=hop_length)     # (C, frames, bins)
-    X = jnp.transpose(S, (2, 1, 0))                      # (F, N, C)
-    SX = jnp.maximum(jnp.mean(jnp.abs(X) ** 2, axis=-1), _EPS)  # (F, N)
+    # complex glue must be jitted on this backend (separate/glue.py)
+    X = stft_stack(x, n_fft, hop_length, fnc=True)       # (F, N, C)
+    SX = mean_power(X)                                    # (F, N)
     F, N = SX.shape
 
     n_steps = int(np.ceil(12 * steps_per_semitone * np.log2(f0_max / f0_min))) + 1
@@ -272,17 +273,8 @@ def separate_lead(
     lead_pow = jnp.dot(WF0, HF0) * jnp.dot(WGAMMA, HPHI)   # (F, N)
     acc_pow = jnp.dot(WM, HM)
     gain = lead_pow / jnp.maximum(lead_pow + acc_pow, _EPS)
-    lead_spec = X * gain[..., None]                        # (F, N, C)
-    acc_spec = X - lead_spec
-
-    def synth(spec):
-        s = jnp.transpose(spec, (2, 1, 0))                 # (C, frames, bins)
-        return jax.vmap(
-            lambda m: istft(m, n_fft=n_fft, hop_length=hop_length, length=T)
-        )(s)
-
-    lead = synth(lead_spec)
-    accomp = synth(acc_spec)
+    lead, accomp = masked_istft(X, gain[..., None], n_fft, hop_length, T,
+                                fnc=True)
 
     # voicing: frames where the lead model carries real energy
     lead_frame = jnp.sum(lead_pow, axis=0)

@@ -264,7 +264,7 @@ def separate_lead_multichannel(
        ``setSpecCompFB``);
     4. full EM re-estimation, then spatial Wiener separation.
     """
-    from exemplars_vc_tpu.dsp.stft import istft, stft
+    from exemplars_vc_tpu.separate.glue import stft_stack
     from exemplars_vc_tpu.separate.lead import (
         hann_filter_basis, harmonic_dictionary)
     from exemplars_vc_tpu.separate.stereo_simm import separate_lead_stereo
@@ -284,8 +284,8 @@ def separate_lead_multichannel(
         n_harmonics=n_harmonics, n_filt_atoms=n_filt_atoms,
         n_filters=n_filters, n_accomp=n_accomp, n_iter=n_iter_simm, key=k1)
 
-    S = stft(x, n_fft=n_fft, hop_length=hop_length)
-    X = jnp.transpose(S, (2, 1, 0))                        # (F, N, C)
+    # complex glue must be jitted on this backend (separate/glue.py)
+    X = stft_stack(x, n_fft, hop_length, fnc=True)         # (F, N, C)
     F, N = X.shape[0], X.shape[1]
 
     n_steps = int(np.ceil(
@@ -300,6 +300,8 @@ def separate_lead_multichannel(
     if spatial_init == "demix" and C != 2:
         # DEMIX is stereo-only; the empirical covariance path supports any C
         spatial_init = "empirical"
+    from exemplars_vc_tpu.separate.glue import first_source
+
     if spatial_init == "demix":
         from exemplars_vc_tpu.separate.demix import demix
 
@@ -307,20 +309,16 @@ def separate_lead_multichannel(
         R_parts = []
         for img in (simm.lead, simm.accomp):
             est = demix(img, n_sources=1, n_fft=n_fft, hop_length=hop_length)
-            R_parts.append(np.asarray(est.spatial_init(freqs))[0])
-        R0 = jnp.asarray(np.stack(R_parts), jnp.complex64)  # (2,F,C,C)
+            # stays a device array end-to-end: complex64 can neither run
+            # eagerly (incl. slicing) nor transfer to host on this backend
+            # (separate/glue.py)
+            R_parts.append(first_source(est.spatial_init(freqs)))
+        R_lead, R_acc = R_parts
     elif spatial_init == "empirical":
-        def emp_cov(img):
-            Si = stft(img, n_fft=n_fft, hop_length=hop_length)
-            Xi = jnp.transpose(Si, (2, 1, 0))               # (F,N,C)
-            XXi = Xi[..., :, None] * jnp.conj(Xi)[..., None, :]
-            Rf = XXi.mean(axis=1)                           # (F,C,C)
-            tr = jnp.maximum(jnp.real(
-                jnp.trace(Rf, axis1=-2, axis2=-1)), _EPS)
-            Rf = Rf * (C / tr)[..., None, None]
-            eye = jnp.eye(C, dtype=jnp.complex64)
-            return 0.95 * Rf + 0.05 * eye
-        R0 = jnp.stack([emp_cov(simm.lead), emp_cov(simm.accomp)])
+        from exemplars_vc_tpu.separate.glue import empirical_spatial_cov
+
+        R_lead = empirical_spatial_cov(simm.lead, n_fft, hop_length)
+        R_acc = empirical_spatial_cov(simm.accomp, n_fft, hop_length)
     else:
         raise ValueError(f"unknown spatial_init {spatial_init!r}")
 
@@ -341,8 +339,9 @@ def separate_lead_multichannel(
         m.WM[:, j * k_per : (j + 1) * k_per] for j in range(J_acc)])
     H_seed = jnp.stack([
         m.HM[j * k_per : (j + 1) * k_per] for j in range(J_acc)])
-    R0 = jnp.concatenate(
-        [R0[:1], jnp.broadcast_to(R0[1:2], (J_acc,) + R0.shape[1:])])
+    from exemplars_vc_tpu.separate.glue import stack_spatial
+
+    R0 = stack_spatial(R_lead, R_acc, J_acc)
     model = fit_multichannel_sf(
         X, WUF0, WGAMMA,
         n_acc_sources=J_acc, n_filters=n_filters,
@@ -350,13 +349,11 @@ def separate_lead_multichannel(
         HF0_init=m.HF0, FW_init=m.HGAMMA, TW_init=m.HPHI,
         W_init=W_seed, H_init=H_seed, R_init=R0)
 
+    from exemplars_vc_tpu.separate.glue import images_istft
+
     v = model_power(model, WUF0, WGAMMA)
     Y = _wiener_images_sf(X, v, model.R)                   # (J,F,N,C)
-    specs = jnp.transpose(Y, (0, 3, 2, 1))                 # (J,C,frames,bins)
-    flat = specs.reshape((-1,) + specs.shape[2:])
-    audio = jax.vmap(
-        lambda s: istft(s, n_fft=n_fft, hop_length=hop_length, length=T)
-    )(flat).reshape(1 + J_acc, C, T)
+    audio = images_istft(Y, n_fft, hop_length, T)          # (1+J_acc, C, T)
 
     return MultichannelLead(audio[0], audio[1:].sum(axis=0), simm.f0,
                             model, simm)

@@ -190,6 +190,7 @@ def _wiener_images(X, W, H, R):
     return _wiener_images_v(X, v, R)
 
 
+@partial(jax.jit, static_argnames=("n_sources", "F", "C", "mix"))
 def random_spatial_init(key, n_sources: int, F: int, C: int,
                         mix: float = 0.2) -> jnp.ndarray:
     """Identity-plus-random-rank-1 spatial covariances (J, F, C, C).
@@ -197,7 +198,8 @@ def random_spatial_init(key, n_sources: int, F: int, C: int,
     pyfasst inits its mixing parameters randomly too (``audioModel.py``
     ``_initialize_structures``); the complex perturbation uses independent
     real/imaginary draws so sources start with distinct inter-channel PHASE
-    as well as gain."""
+    as well as gain. Jitted: the complex construction is UNIMPLEMENTED as
+    eager ops on this backend (separate/glue.py)."""
     kr, ki = jax.random.split(key)
     a = (jax.random.normal(kr, (n_sources, C))
          + 1j * jax.random.normal(ki, (n_sources, C)))
@@ -272,12 +274,12 @@ def separate_signal(
     spatial_init: ``"random"`` or ``"demix"`` (DEMIX direction clustering
     seeds the spatial covariances; stereo input only).
     """
-    from exemplars_vc_tpu.dsp.stft import istft, stft
+    from exemplars_vc_tpu.separate.glue import images_istft, stft_stack
 
     x = jnp.asarray(x, jnp.float32)
     C, T = x.shape
-    S = stft(x, n_fft=n_fft, hop_length=hop_length)    # (C, frames, bins)
-    X = jnp.transpose(S, (2, 1, 0))                     # (F, N, C)
+    # complex glue must be jitted on this backend (separate/glue.py)
+    X = stft_stack(x, n_fft, hop_length, fnc=True)      # (F, N, C)
 
     R_init = None
     if spatial_init == "demix":
@@ -305,9 +307,4 @@ def separate_signal(
     else:
         raise ValueError(f"unknown spectral_model {spectral_model!r}")
     Y = _wiener_images(X, model.W, model.H, model.R)    # (J, F, N, C)
-    specs = jnp.transpose(Y, (0, 3, 2, 1))              # (J, C, frames, bins)
-    flat = specs.reshape((-1,) + specs.shape[2:])
-    audio = jax.vmap(
-        lambda s: istft(s, n_fft=n_fft, hop_length=hop_length, length=T)
-    )(flat)
-    return audio.reshape(n_sources, C, T), model
+    return images_istft(Y, n_fft, hop_length, T), model

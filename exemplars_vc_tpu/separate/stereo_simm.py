@@ -298,7 +298,8 @@ def separate_lead_stereo(
     Per-channel Wiener masks (lead share of each channel's model power)
     resynthesize the stereo lead and accompaniment images.
     """
-    from exemplars_vc_tpu.dsp.stft import istft, stft
+    from exemplars_vc_tpu.separate.glue import (
+        masked_istft, stereo_powers, stft_stack)
     from exemplars_vc_tpu.separate.lead import (
         _track_melody, hann_filter_basis, harmonic_dictionary,
         melody_transition)
@@ -307,16 +308,12 @@ def separate_lead_stereo(
     if x.ndim == 1:
         x = jnp.stack([x, x])
     C, T = x.shape
-    S = stft(x, n_fft=n_fft, hop_length=hop_length)       # (C, frames, bins)
-    X = jnp.transpose(S, (0, 2, 1))                        # (C, F, N)
-    SXR = jnp.maximum(jnp.abs(X[0]) ** 2, _EPS)
-    SXL = jnp.maximum(jnp.abs(X[-1]) ** 2, _EPS)
-    # unit-mean power scaling: the IS model is scale-covariant and the Wiener
-    # masks scale-invariant, but the float32 factor chain overflows on raw
-    # power values (the reference runs float64 on host)
-    scale = jnp.maximum(0.5 * (jnp.mean(SXR) + jnp.mean(SXL)), _EPS)
-    SXR = SXR / scale
-    SXL = SXL / scale
+    # complex glue must be jitted on this backend (separate/glue.py);
+    # unit-mean power scaling: the IS model is scale-covariant and the
+    # Wiener masks scale-invariant, but the float32 factor chain overflows
+    # on raw power values (the reference runs float64 on host)
+    X = stft_stack(x, n_fft, hop_length, fnc=False)        # (C, F, N)
+    SXR, SXL = stereo_powers(X)
     F, N = SXR.shape
 
     n_steps = int(np.ceil(12 * steps_per_semitone * np.log2(f0_max / f0_min))) + 1
@@ -377,18 +374,7 @@ def separate_lead_stereo(
     gR = leadR / jnp.maximum(leadR + accR, _EPS)
     gL = leadL / jnp.maximum(leadL + accL, _EPS)
     gain = jnp.stack([gR, gL]) if C == 2 else gR[None]
-
-    lead_spec = X * gain                                    # (C, F, N)
-    acc_spec = X - lead_spec
-
-    def synth(spec):
-        s = jnp.transpose(spec, (0, 2, 1))                  # (C, frames, bins)
-        return jax.vmap(
-            lambda m: istft(m, n_fft=n_fft, hop_length=hop_length, length=T)
-        )(s)
-
-    lead = synth(lead_spec)
-    accomp = synth(acc_spec)
+    lead, accomp = masked_istft(X, gain, n_fft, hop_length, T, fnc=False)
 
     # voicing: fraction of model power the VOICED lead rows carry
     voiced_pow = (m2.alpha[0] ** 2 + m2.alpha[1] ** 2) * jnp.sum(
