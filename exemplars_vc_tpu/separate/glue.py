@@ -122,6 +122,19 @@ def anechoic_steering(theta: jnp.ndarray, delay: jnp.ndarray,
 
 
 @jax.jit
+def unit_power(X: jnp.ndarray) -> jnp.ndarray:
+    """X / sqrt(mean |X|²) — unit-mean-power complex STFT.
+
+    The separation models are scale-covariant and their Wiener masks
+    scale-INVARIANT, but float32 factor chains overflow on raw power
+    values; fitting on the normalized STFT keeps every factor O(1) (and
+    keeps the composed source-F0-filter fit consistent with its SIMM seeds,
+    which are estimated from unit-mean power spectra)."""
+    s = jnp.maximum(jnp.mean(jnp.abs(X) ** 2), _EPS)
+    return X / jnp.sqrt(s)
+
+
+@jax.jit
 def first_source(R: jnp.ndarray) -> jnp.ndarray:
     """R[0] — jitted because even eager complex SLICING is unimplemented."""
     return R[0]

@@ -284,8 +284,15 @@ def separate_lead_multichannel(
         n_harmonics=n_harmonics, n_filt_atoms=n_filt_atoms,
         n_filters=n_filters, n_accomp=n_accomp, n_iter=n_iter_simm, key=k1)
 
-    # complex glue must be jitted on this backend (separate/glue.py)
+    from exemplars_vc_tpu.separate.glue import unit_power
+
+    # complex glue must be jitted on this backend (separate/glue.py).
+    # The composed fit runs on the UNIT-POWER STFT: its seeds (SIMM factors)
+    # are estimated from unit-mean power spectra, and the raw-scale fit
+    # overflows float32 on TPU; the Wiener masks are scale-invariant, so the
+    # final images are taken from the raw X.
     X = stft_stack(x, n_fft, hop_length, fnc=True)         # (F, N, C)
+    X_fit = unit_power(X)
     F, N = X.shape[0], X.shape[1]
 
     n_steps = int(np.ceil(
@@ -343,7 +350,7 @@ def separate_lead_multichannel(
 
     R0 = stack_spatial(R_lead, R_acc, J_acc)
     model = fit_multichannel_sf(
-        X, WUF0, WGAMMA,
+        X_fit, WUF0, WGAMMA,
         n_acc_sources=J_acc, n_filters=n_filters,
         n_acc_components=k_per, n_em=n_em, key=k2,
         HF0_init=m.HF0, FW_init=m.HGAMMA, TW_init=m.HPHI,
