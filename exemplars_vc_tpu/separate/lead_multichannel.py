@@ -113,6 +113,17 @@ def _sf_updates(z, WF0, WGAMMA, HF0, FW, TW):
 @partial(jax.jit, static_argnames=("n_em", "n_inner"))
 def _em_sf_loop(X, WF0, WGAMMA, HF00, FW0, TW0, W0, H0, R0,
                 n_em: int, n_inner: int):
+    # full-f32 matmuls throughout: TPU's default reduced matmul precision
+    # feeds the 2×2 covariance inverses enough error that the EM goes NaN
+    # after a few steps (CPU computes the same graph in full f32 and is
+    # stable); the context applies at trace time to every dot/einsum below
+    with jax.default_matmul_precision("highest"):
+        return _em_sf_loop_body(X, WF0, WGAMMA, HF00, FW0, TW0, W0, H0, R0,
+                                n_em, n_inner)
+
+
+def _em_sf_loop_body(X, WF0, WGAMMA, HF00, FW0, TW0, W0, H0, R0,
+                     n_em: int, n_inner: int):
     XX = X[..., :, None] * jnp.conj(X)[..., None, :]       # (F,N,C,C)
 
     def em_step(carry, _):
