@@ -59,6 +59,13 @@ def _update_H(SX, W, H):
 
 @partial(jax.jit, static_argnames=("n_iter", "update_W", "update_H"))
 def _is_nmf_loop(SX, W0, H0, n_iter: int, update_W: bool, update_H: bool):
+    # full-f32 matmuls: IS updates divide by v² — reduced TPU matmul
+    # precision destabilizes them (see stereo_simm._stereo_simm_loop)
+    with jax.default_matmul_precision("highest"):
+        return _is_nmf_loop_body(SX, W0, H0, n_iter, update_W, update_H)
+
+
+def _is_nmf_loop_body(SX, W0, H0, n_iter: int, update_W: bool, update_H: bool):
     def body(_, carry):
         W, H = carry
         if update_W:
@@ -111,6 +118,18 @@ def is_nmf(
     ),
 )
 def _sf_nmf_loop(
+    SX, W0, H0, WF0, HF0, WR0, HR0,
+    n_iter: int, update_W: bool, update_H: bool,
+    update_W_filt: bool, update_H_filt: bool, update_res: bool = True,
+):
+    # full-f32 matmuls — see _is_nmf_loop
+    with jax.default_matmul_precision("highest"):
+        return _sf_nmf_loop_body(SX, W0, H0, WF0, HF0, WR0, HR0, n_iter,
+                                 update_W, update_H, update_W_filt,
+                                 update_H_filt, update_res)
+
+
+def _sf_nmf_loop_body(
     SX, W0, H0, WF0, HF0, WR0, HR0,
     n_iter: int, update_W: bool, update_H: bool,
     update_W_filt: bool, update_H_filt: bool, update_res: bool = True,

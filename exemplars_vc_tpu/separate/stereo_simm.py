@@ -87,6 +87,19 @@ def _colnorm(M):
 def _stereo_simm_loop(SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0, HF00,
                       beta0, HM0, WM0, n_iter: int, omega: float,
                       update_hgamma: bool, update_accomp: bool):
+    # full-f32 matmuls: at TPU's default reduced matmul precision the
+    # structured lead model underfits so badly that the free accompaniment
+    # absorbs ~98% of the energy (measured; BENCHMARKS §separation). Trace-
+    # time context — applies to every dot below.
+    with jax.default_matmul_precision("highest"):
+        return _stereo_simm_loop_body(
+            SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0, HF00,
+            beta0, HM0, WM0, n_iter, omega, update_hgamma, update_accomp)
+
+
+def _stereo_simm_loop_body(SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0,
+                           HF00, beta0, HM0, WM0, n_iter: int, omega: float,
+                           update_hgamma: bool, update_accomp: bool):
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     pw = omega          # full-power exponent for the factor updates
     pg = 0.1 * omega    # damped exponent for the mixing gains (SIMM.py:877)
