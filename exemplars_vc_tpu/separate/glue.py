@@ -35,9 +35,99 @@ def stft_stack(x: jnp.ndarray, n_fft: int, hop_length: int,
     return jnp.transpose(S, (2, 1, 0) if fnc else (0, 2, 1))
 
 
+def _host_stft_power(x, n_fft: int, hop_length: int):
+    """Float64 HOST power spectrogram with ``dsp.stft``'s exact semantics
+    (center reflect-pad, periodic hann) — (..., F, N).
+
+    The SIMM-family fits minimize the IS divergence, which weights every
+    bin equally; float32 device STFTs differ across platforms by ~1e-9 of
+    the mean power in near-silent bins, and those differences steer the
+    damped multiplicative updates chaotically (measured: swapping in the
+    other platform's spectrogram reproduces its trajectory exactly —
+    BENCHMARKS §separation). The reference's pyfasst computes its STFT
+    power host-side in float64 for the same reason
+    (``SeparateLeadStereo/SeparateLeadStereoTF.py``, host numpy); this
+    helper is that design decision kept: the cheap spectrogram in f64 on
+    host, the 40-iteration fit on device.
+    """
+    import numpy as np
+
+    P = np.abs(_host_stft(x, n_fft, hop_length)) ** 2  # (..., N, F)
+    return np.swapaxes(P, -1, -2)                      # (..., F, N)
+
+
+def _host_stft(x, n_fft: int, hop_length: int):
+    """Float64 host STFT with ``dsp.stft``'s exact semantics — complex128
+    (..., N, F). See ``_host_stft_power`` for why host-side."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    x = np.pad(x, pad, mode="reflect")
+    n_frames = 1 + (x.shape[-1] - n_fft) // hop_length
+    idx = (np.arange(n_fft)[None, :]
+           + hop_length * np.arange(n_frames)[:, None])
+    t = 2.0 * np.pi * np.arange(n_fft) / n_fft
+    w = 0.5 - 0.5 * np.cos(t)
+    return np.fft.rfft(x[..., idx] * w, axis=-1)      # (..., N, F)
+
+
+@partial(jax.jit, static_argnames=("fnc",))
+def _combine_stft(re: jnp.ndarray, im: jnp.ndarray, fnc: bool):
+    # complex construction must happen inside jit on this backend
+    S = re + 1j * im                                   # (C, N, F)
+    return jnp.transpose(S, (2, 1, 0) if fnc else (0, 2, 1))
+
+
+def host_stft_stack(x, n_fft: int, hop_length: int,
+                    fnc: bool = True) -> jnp.ndarray:
+    """Platform-exact multichannel STFT: float64 host computation, rounded
+    to float32 parts, combined to complex64 ON DEVICE (complex64 cannot
+    cross the host boundary on this backend). Layout matches
+    ``stft_stack``: (F, N, C) [``fnc``] or (C, F, N). x: (C, T) audio.
+
+    Separation entry points use this for BOTH the model-input power and
+    the masked-synthesis STFT so the fits and the output images are
+    platform-reproducible end-to-end (the IS-family EMs amplify device
+    STFT roundoff chaotically — BENCHMARKS §separation)."""
+    import numpy as np
+
+    S = _host_stft(x, n_fft, hop_length)              # (C, N, F) complex128
+    return _combine_stft(jnp.asarray(S.real.astype(np.float32)),
+                         jnp.asarray(S.imag.astype(np.float32)), fnc)
+
+
+def host_stereo_powers(x, n_fft: int, hop_length: int):
+    """Unit-mean per-channel power spectra (R, L), computed host-side in
+    float64 and returned as float32 numpy (platform-exact SIMM input; see
+    ``_host_stft_power``). x: (C, T) audio."""
+    import numpy as np
+
+    P = _host_stft_power(x, n_fft, hop_length)        # (C, F, N)
+    SXR = np.maximum(P[0], _EPS)
+    SXL = np.maximum(P[-1], _EPS)
+    scale = max(0.5 * (SXR.mean() + SXL.mean()), _EPS)
+    return ((SXR / scale).astype(np.float32),
+            (SXL / scale).astype(np.float32))
+
+
+def host_mean_power(x, n_fft: int, hop_length: int):
+    """Channel-mean power spectrum (F, N), float64 host computation,
+    float32 numpy out. x: (C, T)."""
+    import numpy as np
+
+    P = _host_stft_power(x, n_fft, hop_length).mean(axis=0)
+    return np.maximum(P, _EPS).astype(np.float32)
+
+
 @jax.jit
 def stereo_powers(X_cfn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Unit-mean per-channel power spectra (R, L) from a (C, F, N) STFT."""
+    """Unit-mean per-channel power spectra (R, L) from a (C, F, N) STFT.
+
+    DEVICE-side variant — fine for scale estimation, but the SIMM-family
+    entry points use ``host_stereo_powers`` instead: the IS-divergence fit
+    is chaotically sensitive to the platform roundoff of near-silent bins
+    (measured; BENCHMARKS §separation)."""
     SXR = jnp.maximum(jnp.abs(X_cfn[0]) ** 2, _EPS)
     SXL = jnp.maximum(jnp.abs(X_cfn[-1]) ** 2, _EPS)
     scale = jnp.maximum(0.5 * (jnp.mean(SXR) + jnp.mean(SXL)), _EPS)
@@ -46,7 +136,8 @@ def stereo_powers(X_cfn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 @jax.jit
 def mean_power(X_fnc: jnp.ndarray) -> jnp.ndarray:
-    """Channel-mean power spectrum (F, N) of a (F, N, C) STFT."""
+    """Channel-mean power spectrum (F, N) of a (F, N, C) STFT (device-side
+    variant; SIMM-family entry points use ``host_mean_power``)."""
     return jnp.maximum(jnp.mean(jnp.abs(X_fnc) ** 2, axis=-1), _EPS)
 
 

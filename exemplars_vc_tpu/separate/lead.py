@@ -209,16 +209,19 @@ def separate_lead(
     below ``voicing_threshold`` report f0 = 0 (unvoiced).
     """
     from exemplars_vc_tpu.separate.glue import (
-        masked_istft, mean_power, stft_stack)
+        host_mean_power, host_stft_stack, masked_istft)
     from exemplars_vc_tpu.separate.isnmf import sf_nmf
 
-    x = jnp.asarray(x, jnp.float32)
-    if x.ndim == 1:
-        x = x[None, :]
+    x_np = np.asarray(x, np.float32)
+    if x_np.ndim == 1:
+        x_np = x_np[None, :]
+    x = jnp.asarray(x_np)
     C, T = x.shape
-    # complex glue must be jitted on this backend (separate/glue.py)
-    X = stft_stack(x, n_fft, hop_length, fnc=True)       # (F, N, C)
-    SX = mean_power(X)                                    # (F, N)
+    # complex glue must be jitted on this backend (separate/glue.py);
+    # model-input power is computed host-side in float64 for platform-
+    # exact IS conditioning (glue._host_stft_power)
+    X = host_stft_stack(x_np, n_fft, hop_length, fnc=True)  # (F, N, C)
+    SX = jnp.asarray(host_mean_power(x_np, n_fft, hop_length))  # (F, N)
     F, N = SX.shape
 
     n_steps = int(np.ceil(12 * steps_per_semitone * np.log2(f0_max / f0_min))) + 1

@@ -275,7 +275,7 @@ def separate_lead_multichannel(
        ``setSpecCompFB``);
     4. full EM re-estimation, then spatial Wiener separation.
     """
-    from exemplars_vc_tpu.separate.glue import stft_stack
+    from exemplars_vc_tpu.separate.glue import host_stft_stack
     from exemplars_vc_tpu.separate.lead import (
         hann_filter_basis, harmonic_dictionary)
     from exemplars_vc_tpu.separate.stereo_simm import separate_lead_stereo
@@ -302,7 +302,7 @@ def separate_lead_multichannel(
     # are estimated from unit-mean power spectra, and the raw-scale fit
     # overflows float32 on TPU; the Wiener masks are scale-invariant, so the
     # final images are taken from the raw X.
-    X = stft_stack(x, n_fft, hop_length, fnc=True)         # (F, N, C)
+    X = host_stft_stack(np.asarray(x), n_fft, hop_length, fnc=True)  # (F, N, C)
     X_fit = unit_power(X)
     F, N = X.shape[0], X.shape[1]
 

@@ -41,6 +41,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-10
 
@@ -128,7 +129,12 @@ def _spatial_estep(XX, v, R):
     R_new = R_new * (C / trR)[..., None, None].astype(rdt)
 
     # ---- posterior spectral statistics --------------------------------------
-    Rinv = _inv_hermitian(R_new)
+    # ridge before inverting: a converged point source drives R_j(f) to the
+    # rank-1 steering covariance, whose 2×2 determinant underflows float32
+    # and turns the EM NaN (measured on TPU at ~6 iterations; CPU survives
+    # marginally). R_new is trace-normalized to C, so a 1e-5·I load bounds
+    # the condition number at ~2·10⁵ with negligible bias.
+    Rinv = _inv_hermitian(R_new + 1e-5 * eye)
     z = jnp.real(jnp.einsum("jfcd,jfndc->jfn", Rinv, Rhat)) / C
     return R_new, trR / C, jnp.maximum(z, _EPS), nll
 
@@ -274,20 +280,19 @@ def separate_signal(
     spatial_init: ``"random"`` or ``"demix"`` (DEMIX direction clustering
     seeds the spatial covariances; stereo input only).
     """
-    from exemplars_vc_tpu.separate.glue import images_istft, stft_stack
+    from exemplars_vc_tpu.separate.glue import host_stft_stack, images_istft
 
     x = jnp.asarray(x, jnp.float32)
     C, T = x.shape
-    # complex glue must be jitted on this backend (separate/glue.py)
-    X = stft_stack(x, n_fft, hop_length, fnc=True)      # (F, N, C)
+    # complex glue must be jitted on this backend (separate/glue.py);
+    # platform-exact host-f64 STFT input (glue.host_stft_stack)
+    X = host_stft_stack(np.asarray(x), n_fft, hop_length, fnc=True)  # (F, N, C)
 
     R_init = None
     if spatial_init == "demix":
         from exemplars_vc_tpu.separate.demix import demix
 
         est = demix(x, n_sources=n_sources, n_fft=n_fft, hop_length=hop_length)
-        import numpy as np
-
         R_init = est.spatial_init(np.arange(X.shape[0]) / n_fft)
     elif spatial_init != "random":
         raise ValueError(f"unknown spatial_init {spatial_init!r}")

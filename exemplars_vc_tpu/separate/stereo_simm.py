@@ -83,10 +83,11 @@ def _colnorm(M):
 
 
 @partial(jax.jit, static_argnames=("n_iter", "omega", "update_hgamma",
-                                   "update_accomp"))
+                                   "update_accomp", "diag"))
 def _stereo_simm_loop(SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0, HF00,
                       beta0, HM0, WM0, n_iter: int, omega: float,
-                      update_hgamma: bool, update_accomp: bool):
+                      update_hgamma: bool, update_accomp: bool,
+                      diag: bool = False):
     # full-f32 matmuls: at TPU's default reduced matmul precision the
     # structured lead model underfits so badly that the free accompaniment
     # absorbs ~98% of the energy (measured; BENCHMARKS §separation). Trace-
@@ -94,12 +95,14 @@ def _stereo_simm_loop(SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0, HF00,
     with jax.default_matmul_precision("highest"):
         return _stereo_simm_loop_body(
             SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0, HF00,
-            beta0, HM0, WM0, n_iter, omega, update_hgamma, update_accomp)
+            beta0, HM0, WM0, n_iter, omega, update_hgamma, update_accomp,
+            diag)
 
 
 def _stereo_simm_loop_body(SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0,
                            HF00, beta0, HM0, WM0, n_iter: int, omega: float,
-                           update_hgamma: bool, update_accomp: bool):
+                           update_hgamma: bool, update_accomp: bool,
+                           diag: bool = False):
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     pw = omega          # full-power exponent for the factor updates
     pg = 0.1 * omega    # damped exponent for the mixing gains (SIMM.py:877)
@@ -197,18 +200,39 @@ def _stereo_simm_loop_body(SXR, SXL, WF0, WGAMMA, alpha0, HGAMMA0, HPHI0,
             beta = jnp.stack([bR, 1.0 - bR])
 
         # ---- IS reconstruction error after the full iteration -----------
-        _, _, _, hatR, hatL = recon(alpha, HGAMMA, HPHI, HF0, beta, HM, WM)
+        SF0, SPHI, lead, hatR, hatL = recon(alpha, HGAMMA, HPHI, HF0, beta, HM, WM)
         rR = SXR / hatR
         rL = SXL / hatL
         err = (jnp.sum(rR - jnp.log(_safe(rR)) - 1.0)
                + jnp.sum(rL - jnp.log(_safe(rL)) - 1.0))
 
-        return (alpha, HGAMMA, HPHI, HF0, beta, HM, WM), err
+        out = err
+        if diag:
+            lead_pow = (alpha[0] ** 2 + alpha[1] ** 2) * jnp.sum(lead)
+            tot = jnp.sum(hatR) + jnp.sum(hatL)
+            out = {
+                "err": err,
+                "alpha_r": alpha[0],
+                "lead_share": lead_pow / _safe(tot),
+                "sum_hf0": jnp.sum(HF0),
+                "sum_hphi": jnp.sum(HPHI),
+                "sum_hgamma": jnp.sum(HGAMMA),
+                "sum_hm": jnp.sum(HM),
+                "sum_wm": jnp.sum(WM),
+                "min_hat": jnp.minimum(jnp.min(hatR), jnp.min(hatL)),
+                "max_hat": jnp.maximum(jnp.max(hatR), jnp.max(hatL)),
+                "min_lead": jnp.min(lead),
+                "max_hf0": jnp.max(HF0),
+            }
+        return (alpha, HGAMMA, HPHI, HF0, beta, HM, WM), out
 
     carry0 = (alpha0, HGAMMA0, HPHI0, HF00, beta0, HM0, WM0)
-    (alpha, HGAMMA, HPHI, HF0, beta, HM, WM), errs = jax.lax.scan(
+    (alpha, HGAMMA, HPHI, HF0, beta, HM, WM), outs = jax.lax.scan(
         step, carry0, None, length=n_iter)
-    return StereoSIMM(alpha, HGAMMA, HPHI, HF0, beta, HM, WM, errs)
+    if diag:
+        return StereoSIMM(alpha, HGAMMA, HPHI, HF0, beta, HM, WM,
+                          outs["err"]), outs
+    return StereoSIMM(alpha, HGAMMA, HPHI, HF0, beta, HM, WM, outs)
 
 
 def stereo_simm(
@@ -230,6 +254,7 @@ def stereo_simm(
     beta_init: jnp.ndarray | None = None,
     alpha_init: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    return_diagnostics: bool = False,
 ) -> StereoSIMM:
     """Fit the stereo SIMM to the two channel power spectrograms.
 
@@ -266,7 +291,8 @@ def stereo_simm(
         jnp.asarray(SXR, jnp.float32), jnp.asarray(SXL, jnp.float32),
         jnp.asarray(WF0, jnp.float32), jnp.asarray(WGAMMA, jnp.float32),
         alpha, HGAMMA, HPHI, HF0, beta, HM, WM,
-        int(n_iter), float(omega), bool(update_hgamma), bool(update_accomp))
+        int(n_iter), float(omega), bool(update_hgamma), bool(update_accomp),
+        bool(return_diagnostics))
 
 
 class StereoLeadSeparation(NamedTuple):
@@ -312,21 +338,25 @@ def separate_lead_stereo(
     resynthesize the stereo lead and accompaniment images.
     """
     from exemplars_vc_tpu.separate.glue import (
-        masked_istft, stereo_powers, stft_stack)
+        host_stereo_powers, host_stft_stack, masked_istft)
     from exemplars_vc_tpu.separate.lead import (
         _track_melody, hann_filter_basis, harmonic_dictionary,
         melody_transition)
 
-    x = jnp.asarray(x, jnp.float32)
-    if x.ndim == 1:
-        x = jnp.stack([x, x])
+    x_np = np.asarray(x, np.float32)
+    if x_np.ndim == 1:
+        x_np = np.stack([x_np, x_np])
+    x = jnp.asarray(x_np)
     C, T = x.shape
     # complex glue must be jitted on this backend (separate/glue.py);
     # unit-mean power scaling: the IS model is scale-covariant and the
     # Wiener masks scale-invariant, but the float32 factor chain overflows
-    # on raw power values (the reference runs float64 on host)
-    X = stft_stack(x, n_fft, hop_length, fnc=False)        # (C, F, N)
-    SXR, SXL = stereo_powers(X)
+    # on raw power values (the reference runs float64 on host). The model
+    # input power itself is computed HOST-side in float64 — platform-exact
+    # SIMM conditioning (glue._host_stft_power).
+    X = host_stft_stack(x_np, n_fft, hop_length, fnc=False)  # (C, F, N)
+    SXR, SXL = (jnp.asarray(a)
+                for a in host_stereo_powers(x_np, n_fft, hop_length))
     F, N = SXR.shape
 
     n_steps = int(np.ceil(12 * steps_per_semitone * np.log2(f0_max / f0_min))) + 1

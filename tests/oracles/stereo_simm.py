@@ -27,7 +27,7 @@ def _colnorm(M):
 
 def stereo_simm_oracle(SXR, SXL, WF0, WGAMMA, HGAMMA, HPHI, HF0, WM, HM,
                        alpha=(0.5, 0.5), beta=None, n_iter=10, omega=1.0,
-                       update_hgamma=True):
+                       update_hgamma=True, update_accomp=True):
     """Run n_iter Stereo-SIMM iterations in float64; return the parameter
     dict and the per-iteration IS reconstruction error."""
     SXR = np.asarray(SXR, np.float64)
@@ -78,12 +78,13 @@ def stereo_simm_oracle(SXR, SXL, WF0, WGAMMA, HGAMMA, HPHI, HF0, WM, HM,
         HF0 = HF0 * s[None, :]
 
         # HM
-        SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
-        WMR = WM * bR ** 2
-        WML = WM * bL ** 2
-        num = WMR.T @ (SXR / hatR ** 2) + WML.T @ (SXL / hatL ** 2)
-        den = WMR.T @ (1.0 / hatR) + WML.T @ (1.0 / hatL)
-        HM = HM * (num / np.maximum(den, EPS)) ** pw
+        if update_accomp:
+            SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
+            WMR = WM * bR ** 2
+            WML = WM * bL ** 2
+            num = WMR.T @ (SXR / hatR ** 2) + WML.T @ (SXL / hatL ** 2)
+            den = WMR.T @ (1.0 / hatR) + WML.T @ (1.0 / hatL)
+            HM = HM * (num / np.maximum(den, EPS)) ** pw
 
         # HGAMMA + double renorm
         if update_hgamma:
@@ -101,14 +102,15 @@ def stereo_simm_oracle(SXR, SXL, WF0, WGAMMA, HGAMMA, HPHI, HF0, WM, HM,
             HF0 = HF0 * s[None, :]
 
         # WM + renorm into HM
-        SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
-        num = ((SXR / hatR ** 2) @ (HM.T * (bR ** 2)[None, :])
-               + (SXL / hatL ** 2) @ (HM.T * (bL ** 2)[None, :]))
-        den = ((1.0 / hatR) @ (HM.T * (bR ** 2)[None, :])
-               + (1.0 / hatL) @ (HM.T * (bL ** 2)[None, :]))
-        WM = WM * (num / np.maximum(den, EPS)) ** pw
-        WM, sw = _colnorm(WM)
-        HM = HM * sw[:, None]
+        if update_accomp:
+            SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
+            num = ((SXR / hatR ** 2) @ (HM.T * (bR ** 2)[None, :])
+                   + (SXL / hatL ** 2) @ (HM.T * (bL ** 2)[None, :]))
+            den = ((1.0 / hatR) @ (HM.T * (bR ** 2)[None, :])
+                   + (1.0 / hatL) @ (HM.T * (bL ** 2)[None, :]))
+            WM = WM * (num / np.maximum(den, EPS)) ** pw
+            WM, sw = _colnorm(WM)
+            HM = HM * sw[:, None]
 
         # alpha
         SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
@@ -120,15 +122,16 @@ def stereo_simm_oracle(SXR, SXL, WF0, WGAMMA, HGAMMA, HPHI, HF0, WM, HM,
         aL = 1.0 - aR
 
         # beta
-        SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
-        numR = np.einsum("fr,fn,rn->r", WM, SXR / hatR ** 2, HM)
-        denR = np.einsum("fr,fn,rn->r", WM, 1.0 / hatR, HM)
-        bR = bR * (numR / np.maximum(denR, EPS)) ** pg
-        numL = np.einsum("fr,fn,rn->r", WM, SXL / hatL ** 2, HM)
-        denL = np.einsum("fr,fn,rn->r", WM, 1.0 / hatL, HM)
-        bL = bL * (numL / np.maximum(denL, EPS)) ** pg
-        bR = bR / np.maximum(bR + bL, EPS)
-        bL = 1.0 - bR
+        if update_accomp:
+            SF0, SPHI, lead, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
+            numR = np.einsum("fr,fn,rn->r", WM, SXR / hatR ** 2, HM)
+            denR = np.einsum("fr,fn,rn->r", WM, 1.0 / hatR, HM)
+            bR = bR * (numR / np.maximum(denR, EPS)) ** pg
+            numL = np.einsum("fr,fn,rn->r", WM, SXL / hatL ** 2, HM)
+            denL = np.einsum("fr,fn,rn->r", WM, 1.0 / hatL, HM)
+            bL = bL * (numL / np.maximum(denL, EPS)) ** pg
+            bR = bR / np.maximum(bR + bL, EPS)
+            bL = 1.0 - bR
 
         _, _, _, hatR, hatL = recon(aR, aL, HGAMMA, HPHI, HF0, bR, bL, HM, WM)
         rR = SXR / hatR
