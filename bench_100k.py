@@ -119,26 +119,36 @@ def main():
     # this measures whether 100k+ K is the regime where batch pays.
     from exemplars_vc_tpu.pipelines.serve import Converter
 
-    tmpb = tempfile.mkdtemp(prefix="evc_100k_serve_")
-    conv = Converter(cfg, ArtifactStore(tmpb), DATA, nb_file=8)
+    from dataclasses import replace as _replace
+
+    serving = {"n_utts": 4, "synth_iters": 60}
     batch_utts = list_speaker_wavs(DATA, "SF1")[:4]
-    conv.convert_batch(batch_utts, synth_iters=60)        # warm
-    for p in batch_utts:
-        conv.convert(p, synth_iters=60)                   # warm serial shapes
-    t0 = time.time()
-    conv.convert_batch(batch_utts, synth_iters=60)
-    batch_s = time.time() - t0
-    t0 = time.time()
-    for p in batch_utts:
-        conv.convert(p, synth_iters=60)
-    serial_s = time.time() - t0
-    shutil.rmtree(tmpb, ignore_errors=True)
-    serving = {
-        "n_utts": len(batch_utts), "synth_iters": 60,
-        "batch_per_utt_ms": round(1000 * batch_s / len(batch_utts), 1),
-        "serial_per_utt_ms": round(1000 * serial_s / len(batch_utts), 1),
-        "batch_speedup": round(serial_s / batch_s, 2),
-    }
+    for dtype in ("float32", "bfloat16"):
+        cfg_s = _replace(cfg, nmf=_replace(cfg.nmf, work_dtype=dtype))
+        tmpb = tempfile.mkdtemp(prefix="evc_100k_serve_")
+        conv = Converter(cfg_s, ArtifactStore(tmpb), DATA, nb_file=8)
+        conv.convert_batch(batch_utts, synth_iters=60)    # warm
+        for p in batch_utts:
+            conv.convert(p, synth_iters=60)               # warm serial shapes
+        t0 = time.time()
+        conv.convert_batch(batch_utts, synth_iters=60)
+        batch_s = time.time() - t0
+        t0 = time.time()
+        for p in batch_utts:
+            conv.convert(p, synth_iters=60)
+        serial_s = time.time() - t0
+        shutil.rmtree(tmpb, ignore_errors=True)
+        tag = "" if dtype == "float32" else "_bf16"
+        serving.update({
+            f"batch_per_utt_ms{tag}": round(1000 * batch_s / len(batch_utts), 1),
+            f"serial_per_utt_ms{tag}": round(1000 * serial_s / len(batch_utts), 1),
+            f"batch_speedup{tag}": round(serial_s / batch_s, 2),
+        })
+    # the amortization ceiling is the compute roofline, not the dictionary
+    # stream: see artifacts/serving_solve_probe.json (solve-only, f32:
+    # 36.8 TFLOP/s single-utt vs 40.9 stacked → max batch gain ~1.1×;
+    # A-matrix HBM traffic is ~10% of the measured iteration time at
+    # F=704) and BENCHMARKS §serving
     log(f"serving at K={k_exemplars}: {serving}")
 
     hot = sorted(hots)[len(hots) // 2]
