@@ -38,7 +38,10 @@ from exemplars_vc_tpu.factorize import (
 from exemplars_vc_tpu.factorize.nmf import NmfState
 from exemplars_vc_tpu.io import ArtifactStore, read_wav, write_wav
 from exemplars_vc_tpu.obs import Timer, get_logger
-from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+from exemplars_vc_tpu.pipelines.conv_dicts import (
+    build_conversion_dicts,
+    build_conversion_dicts_pair,
+)
 from exemplars_vc_tpu.pipelines.make_dict import make_dictionary
 
 
@@ -369,8 +372,8 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
                            frame_period_ms=cfg.world.frame_period_ms / div),
         )
     dict_art = make_dictionary(dcfg, store, data_path, nb_file=nb_file)
-    src_feats = build_conversion_dicts(dcfg, store, data_path, cfg.data.src, nb_file=nb_file)
-    tar_feats = build_conversion_dicts(dcfg, store, data_path, cfg.data.tar, nb_file=nb_file)
+    src_feats, tar_feats = build_conversion_dicts_pair(
+        dcfg, store, data_path, cfg.data.src, cfg.data.tar, nb_file=nb_file)
 
     # exemplar count, rounded to a bucket so the NMF shape is corpus-stable
     k_true = int(np.asarray(dict_art.path_len).sum())

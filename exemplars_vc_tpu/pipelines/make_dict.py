@@ -128,6 +128,66 @@ def _extract_batch_stacked(
     return fn(batch, lens), lens
 
 
+@lru_cache(maxsize=8)
+def _pair_mfcc_batch(sr: int, n_fft: int, hop: int, n_mfcc: int, n_mels: int,
+                     n: int, t_pad_a: int, t_pad_b: int):
+    """BOTH speakers' alignment MFCC in ONE dispatch.
+
+    Each dispatch through the remote-TPU tunnel costs ~30–45 ms of latency
+    on top of the ~10 ms of compute here, so fusing the two per-speaker
+    calls halves the dicts stage's feature cost (tools/profile_dicts.py).
+    The two signal batches may have different padded lengths; they are
+    padded to a common T and concatenated INSIDE the jit (device-resident
+    inputs — no re-upload), and each output is trimmed back to its own
+    speaker's frame pad so the downstream DTW executable keeps its shape.
+    """
+
+    @jax.jit
+    def fn(A, la, B, lb):
+        T = max(A.shape[1], B.shape[1])
+        Ap = jnp.pad(A[:n], ((0, 0), (0, T - A.shape[1])))
+        Bp = jnp.pad(B[:n], ((0, 0), (0, T - B.shape[1])))
+        x = jnp.concatenate([Ap, Bp], axis=0)
+        out = jax.vmap(
+            lambda s: mfcc(s, sr=sr, n_fft=n_fft, hop_length=hop,
+                           n_mfcc=n_mfcc, n_mels=n_mels)
+        )(x)
+
+        def trim(o, t_pad, lens):
+            o = (o[:, :t_pad] if o.shape[1] >= t_pad else
+                 jnp.pad(o, ((0, 0), (0, t_pad - o.shape[1]), (0, 0))))
+            mask = jnp.arange(t_pad)[None, :] < lens[:, None]
+            return o * mask[..., None]
+
+        return trim(out[:n], t_pad_a, la), trim(out[n:], t_pad_b, lb)
+
+    return fn
+
+
+def _extract_pair_stacked(cfg: Config, data_path: str, nb: int):
+    """Alignment MFCC for BOTH speakers: cached device signal batches +
+    one fused dispatch. Returns (FA, la), (FB, lb) matching
+    :func:`_extract_batch_stacked`'s per-speaker output shapes."""
+    from exemplars_vc_tpu.io.store import stacked_speaker_batch
+
+    m = cfg.mcep
+    bucket = cfg.data.frame_bucket
+    step = m.hop_length * bucket
+    A, sa, _ = stacked_speaker_batch(data_path, cfg.data.src, nb, step,
+                                     cpu_rate=cfg.misc.cpu_rate)
+    B, sb, _ = stacked_speaker_batch(data_path, cfg.data.tar, nb, step,
+                                     cpu_rate=cfg.misc.cpu_rate)
+    n = min(A.shape[0], B.shape[0])
+    la = (1 + sa[:n] // m.hop_length).astype(np.int32)
+    lb = (1 + sb[:n] // m.hop_length).astype(np.int32)
+    t_pad_a = ((int(la.max()) + bucket - 1) // bucket) * bucket
+    t_pad_b = ((int(lb.max()) + bucket - 1) // bucket) * bucket
+    fn = _pair_mfcc_batch(cfg.data.sr, m.frame_length, m.hop_length,
+                          m.n_mfcc, m.n_mels, n, t_pad_a, t_pad_b)
+    FA, FB = fn(A, la, B, lb)
+    return (FA, la), (FB, lb)
+
+
 @jax.jit
 def _pack_paths(path_i, path_j, path_len, distance):
     """Flatten all small DTW outputs into one int32 vector for a single
@@ -171,8 +231,13 @@ def make_dictionary(
     log.info("loaded %d utterance pairs in %.2fs", n, t_load.elapsed)
 
     with Timer("features") as t_feat:
-        FA, la = _extract_batch_stacked(src_sigs, cfg, feat)
-        FB, lb = _extract_batch_stacked(tar_sigs, cfg, feat)
+        if feat == "mfcc":
+            # fused path: both speakers in one dispatch from the
+            # device-resident signal cache (_pair_mfcc_batch)
+            (FA, la), (FB, lb) = _extract_pair_stacked(cfg, data_path, nb)
+        else:
+            FA, la = _extract_batch_stacked(src_sigs, cfg, feat)
+            FB, lb = _extract_batch_stacked(tar_sigs, cfg, feat)
     log.info("features %s/%s in %.2fs", FA.shape, FB.shape, t_feat.elapsed)
 
     with Timer("dtw") as t_dtw:
