@@ -284,14 +284,39 @@ def _coerce(current: Any, raw: str) -> Any:
     return raw
 
 
-def load_config(path: str | None = None, overrides: list[str] | None = None) -> Config:
+# Named presets: override bundles applied BEFORE user overrides (so
+# `--preset quality -o nmf.h_smooth=0` still lets the user win).
+# "quality": the jointly-swept best STFT-path configuration (VERDICT r4
+# item 5) — KL β-loss + 4-warp VTLP dictionary augmentation + a 2-frame
+# temporal box filter on H. Composed levers were swept JOINTLY on 2 LOO
+# folds (tools/sweep_quality.py; prune/sharpen/densify/more-warps all
+# measured worse in composition) and validated on all 8 folds
+# (BENCHMARKS §held-out quality, artifacts/loo_preset.json).
+PRESETS: dict[str, list[str]] = {
+    "quality": [
+        "nmf.beta_loss=kullback-leibler",
+        "nmf.context_frames=0",
+        "data.dict_augment_warps=0.9,0.95,1.05,1.1",
+        "nmf.h_smooth=2",
+    ],
+}
+
+
+def load_config(path: str | None = None, overrides: list[str] | None = None,
+                preset: str | None = None) -> Config:
     """Build a :class:`Config`.
 
     ``path`` may point at a reference-style INI file (like
     ``/root/reference/config/config``); unknown keys are ignored.
     ``overrides`` are ``section.field=value`` strings (e.g. ``nmf.max_iter=50``),
     the CLI-flag system the reference lacks (``01_make_dict.py:296-297`` TODO).
+    ``preset`` applies a named override bundle from :data:`PRESETS` before
+    the explicit overrides.
     """
+    if preset is not None:
+        if preset not in PRESETS:
+            raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
+        overrides = PRESETS[preset] + list(overrides or [])
     cfg = Config()
     sections = {f.name: dataclasses.asdict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
 

@@ -28,6 +28,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--nb-file", type=int, default=None, help="max utterances")
     p.add_argument("-o", "--override", action="append", default=[],
                    help="config override section.key=value (repeatable)")
+    p.add_argument("--preset", default=None,
+                   help="named config preset (config.PRESETS, e.g. 'quality' "
+                        "— the jointly-swept best STFT conversion settings); "
+                        "explicit -o overrides still win")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before first use")
 
@@ -49,7 +53,8 @@ def _setup(args):
         overrides.append(f"data.src={args.src}")
     if args.tar:
         overrides.append(f"data.tar={args.tar}")
-    cfg = load_config(args.config, overrides)
+    cfg = load_config(args.config, overrides,
+                      preset=getattr(args, "preset", None))
     return cfg, ArtifactStore(args.store)
 
 

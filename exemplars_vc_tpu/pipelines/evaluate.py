@@ -145,7 +145,21 @@ def lever_configs(cfg: Config) -> dict[str, Config]:
     wq_harvest = replace(base["world_quality"],
                          world=replace(base["world_quality"].world,
                                        f0_method="harvest"))
-    return {"stft_quality_vtlp": vtlp, "world_parity_harvest": harvest,
+    # the shipped `quality` preset (config.PRESETS) as an eval config:
+    # the round-5 JOINT sweep's winner (KL + 4-warp VTLP + h_smooth=2,
+    # tools/sweep_quality.py)
+    from exemplars_vc_tpu.config import load_config
+
+    preset = load_config(preset="quality")
+    preset = replace(base["stft_quality"],
+                     data=replace(base["stft_quality"].data,
+                                  dict_augment_warps=preset.data.dict_augment_warps),
+                     nmf=replace(base["stft_quality"].nmf,
+                                 beta_loss=preset.nmf.beta_loss,
+                                 context_frames=preset.nmf.context_frames,
+                                 h_smooth=preset.nmf.h_smooth))
+    return {"stft_quality_vtlp": vtlp, "stft_preset": preset,
+            "world_parity_harvest": harvest,
             "world_quality_harvest": wq_harvest}
 
 

@@ -212,13 +212,17 @@ def estimate_f0_harvest(
     max_win = 2 * int(math.ceil(3.0 * sr / f0_floor / 2.0)) + 2
     fft_size = int(2 ** (math.ceil(math.log2(max_win)) + 1))
     centers1 = jnp.floor(pos1 + 0.5).astype(jnp.int32)
-    Cc = official.shape[0]
-    flat_cf = official.reshape(-1)
-    flat_centers = jnp.tile(centers1, (Cc,))
-    refined, score = _refine_batch(x, flat_cf, flat_centers, sr, f0_floor,
-                                   f0_ceil, max_win, fft_size)
-    refined = refined.reshape(Cc, F1)
-    score = score.reshape(Cc, F1)
+    # sequential lax.map over the candidate rows, NOT one flat batch: the
+    # Flanagan refine materializes a (points, window) workspace, and the
+    # flat 12·F1-point batch made that workspace ~4.2 GB per utterance —
+    # the 7-utterance vmapped speaker program then failed AOT compilation
+    # outright (29.4 GB > 16 GB HBM, measured round 5). Mapping over the
+    # 12 candidate rows divides the peak by 12 at the cost of 12 cheap
+    # sequential steps; per-row math is unchanged.
+    refined, score = jax.lax.map(
+        lambda cf_row: _refine_batch(x, cf_row, centers1, sr, f0_floor,
+                                     f0_ceil, max_win, fft_size),
+        official)
     refined = _overlap(refined, OVERLAP_NEIGHBORS)
     score = _overlap(score, OVERLAP_NEIGHBORS)
 
