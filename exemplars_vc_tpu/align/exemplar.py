@@ -78,6 +78,42 @@ def build_exemplar_dicts_padded(
     return A, B
 
 
+@partial(jax.jit, static_argnames=("k_pad", "k_true", "prune_frac"))
+def alignment_keep_mask(
+    feats_a: jnp.ndarray,
+    feats_b: jnp.ndarray,
+    path_i: jnp.ndarray,
+    path_j: jnp.ndarray,
+    k_pad: int,
+    k_true: int,
+    prune_frac: float,
+) -> jnp.ndarray:
+    """(k_pad,) bool mask keeping the best-aligned (1−prune_frac) of the
+    true exemplar pairs (dictionary cleaning, ``data.dict_prune_frac``).
+
+    Rank = per-pair DTW alignment cost ‖feat_a[path_i] − feat_b[path_j]‖²
+    over the ALIGNMENT features (the same cost DTW minimized); rows packed
+    exactly like :func:`build_exemplar_dicts_padded` so the mask applies
+    row-wise to every gathered feature dictionary. A badly-aligned pair
+    (source frame matched to a target frame of different phonetic content)
+    teaches the conversion a wrong mapping; zeroing it is exact and inert
+    in every solver (see ``build_exemplar_dicts_padded``)."""
+    Am, Bm = build_exemplar_dicts_padded(feats_a, feats_b, path_i, path_j,
+                                         k_pad=k_pad)
+    cost = jnp.sum((Am - Bm) ** 2, axis=1)
+    valid = jnp.arange(k_pad) < k_true
+    ranked = jnp.sort(jnp.where(valid, cost, jnp.inf))
+    idx = min(max(int((1.0 - prune_frac) * k_true), 1), k_pad - 1)
+    thr = ranked[idx]
+    return valid & (cost <= thr)
+
+
+@jax.jit
+def apply_keep_mask(M: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """Zero the rows of (K, D) M where keep is False."""
+    return M * keep[:, None].astype(M.dtype)
+
+
 def build_exemplar_dicts(
     feats_a: np.ndarray,
     feats_b: np.ndarray,

@@ -53,6 +53,13 @@ class DataConfig:
     # spectral exemplar pair (source and target warped identically), e.g.
     # "0.9,1.1" triples the dictionary from the same audio. "" = off.
     dict_augment_warps: str = ""
+    # dictionary cleaning: drop the worst-aligned fraction of exemplar
+    # pairs, ranked by the DTW alignment cost ‖mfcc_src − mfcc_tar‖² of
+    # each aligned frame pair (badly-aligned pairs teach the conversion a
+    # wrong source→target mapping). 0 = off. Applied before VTLP
+    # augmentation; rows are zeroed (inert in every solver) so shapes and
+    # executables are unchanged.
+    dict_prune_frac: float = 0.0
 
 
 @dataclass(frozen=True)

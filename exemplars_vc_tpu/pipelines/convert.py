@@ -378,6 +378,15 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
     # exemplar count, rounded to a bucket so the NMF shape is corpus-stable
     k_true = int(np.asarray(dict_art.path_len).sum())
     k_pad = ((k_true + 511) // 512) * 512
+    keep = None
+    if cfg.data.dict_prune_frac > 0:
+        from exemplars_vc_tpu.align.exemplar import alignment_keep_mask
+
+        keep = alignment_keep_mask(
+            dict_art.feat_a, dict_art.feat_b,
+            dict_art.path_i, dict_art.path_j,
+            k_pad=k_pad, k_true=k_true,
+            prune_frac=float(cfg.data.dict_prune_frac))
     dicts = {}
     for name in src_feats.feats:
         # feats/paths pass straight into the jit (device arrays no-op; host
@@ -386,6 +395,10 @@ def _aligned_dicts(cfg, store, data_path, nb_file):
             src_feats.feats[name], tar_feats.feats[name],
             dict_art.path_i, dict_art.path_j, k_pad=k_pad,
         )
+        if keep is not None:
+            from exemplars_vc_tpu.align.exemplar import apply_keep_mask
+
+            A, B = apply_keep_mask(A, keep), apply_keep_mask(B, keep)
         dicts[name] = (A, B)
     warps = _parse_warps(cfg.data.dict_augment_warps)
     if warps:

@@ -55,6 +55,19 @@ def combo_overrides() -> dict[str, dict[str, str]]:
                            "nmf.max_iter": "300"},
         "kl_vtlp8": {"data.dict_augment_warps":
                      "0.88,0.92,0.95,0.97,1.03,1.05,1.08,1.12"},
+        # wave 4: dictionary cleaning on top of the wave-2 winner
+        "kl_vtlp4_smooth_prune10": {"data.dict_augment_warps":
+                                    "0.9,0.95,1.05,1.1",
+                                    "nmf.h_smooth": "2",
+                                    "data.dict_prune_frac": "0.1"},
+        "kl_vtlp4_smooth_prune20": {"data.dict_augment_warps":
+                                    "0.9,0.95,1.05,1.1",
+                                    "nmf.h_smooth": "2",
+                                    "data.dict_prune_frac": "0.2"},
+        "kl_vtlp4_smooth_prune35": {"data.dict_augment_warps":
+                                    "0.9,0.95,1.05,1.1",
+                                    "nmf.h_smooth": "2",
+                                    "data.dict_prune_frac": "0.35"},
         # wave 3 around the wave-2 winner (kl_vtlp4_smooth)
         "kl_vtlp4_smooth3": {"data.dict_augment_warps": "0.9,0.95,1.05,1.1",
                              "nmf.h_smooth": "3"},
