@@ -198,6 +198,21 @@ def _pack_paths(path_i, path_j, path_len, distance):
     ])
 
 
+@jax.jit
+def _pack_scalars(path_len, distance):
+    """Per-pair scalars only (2N int32): the one transfer the critical path
+    actually needs — ``path_len`` sizes the exemplar-count bucket (k_pad)
+    before the gather/NMF executables can be traced, and ``distance`` feeds
+    logging. Reading it back also drains the whole DTW dispatch chain. The
+    (N, P) index paths stay DEVICE-resident: the downstream exemplar gather
+    consumes them in-jit, and their host copy rides the store's async
+    writer off the critical path."""
+    return jnp.concatenate([
+        path_len.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(distance.astype(jnp.float32), jnp.int32),
+    ])
+
+
 def make_dictionary(
     cfg: Config,
     store: ArtifactStore,
@@ -242,21 +257,22 @@ def make_dictionary(
 
     with Timer("dtw") as t_dtw:
         r = dtw_batch(FA, FB, la, lb)
-        # index paths to host in ONE packed transfer: each device→host round
-        # trip costs ~30-45 ms through this environment's TPU tunnel, so four
-        # separate np.asarray calls were pure latency (feature batches stay
-        # device-resident; the store's async writer makes those host copies
-        # off the critical path)
-        N, P = r.path_i.shape
-        packed = np.asarray(_pack_paths(r.path_i, r.path_j, r.path_len, r.distance))
+        # Critical path reads back ONLY the per-pair scalars (2N int32, one
+        # round trip): path_len must reach the host to size the exemplar
+        # bucket (k_pad) before the gather/NMF programs can be traced. The
+        # (N, P) index paths (~180 KB at 8×1408 through a ~20 MB/s tunnel)
+        # stay device-resident — the exemplar gather consumes them in-jit,
+        # and the store's async writer does their d2h in the background.
+        N = r.path_i.shape[0]
+        small = np.asarray(_pack_scalars(r.path_len, r.distance))
     log.info("DTW %d pairs in %.2fs", n, t_dtw.elapsed)
 
     art = DictionaryArtifacts(
-        path_i=packed[: N * P].reshape(N, P),
-        path_j=packed[N * P : 2 * N * P].reshape(N, P),
-        path_len=packed[2 * N * P : 2 * N * P + N],
+        path_i=r.path_i,
+        path_j=r.path_j,
+        path_len=small[:N],
         feat_a=FA, feat_b=FB, len_a=la, len_b=lb,
-        distance=packed[2 * N * P + N :].view(np.float32),
+        distance=small[N:].view(np.float32),
     )
     store.save(key, **art.__dict__)
     return art
