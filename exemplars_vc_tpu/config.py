@@ -214,6 +214,16 @@ class NmfConfig:
     # frobenius/single-frame settings on every bundled utterance tested.
     # Solve cost scales ~linearly with (2·context_frames+1).
     context_frames: int = 0
+    # Unit-L2 per-atom dictionary normalization for the ACTIVATION SOLVE
+    # (the standard exemplar-VC convention the reference omits): the solve
+    # runs on A with each exemplar row scaled to unit norm — activations
+    # then rank exemplars by shape similarity rather than energy — and H is
+    # rescaled back to the unnormalized basis afterward, so conversion
+    # (H·B), residual, and serving are untouched. At convergence this is an
+    # exact reparameterization; at the reference's finite iteration budgets
+    # it changes the MU trajectory (the uniform H init weights atoms
+    # differently). False = reference parity.
+    normalize_exemplars: bool = False
 
 
 @dataclass(frozen=True)

@@ -155,7 +155,18 @@ def _solve_activations(X: jnp.ndarray, A: jnp.ndarray, cfg: Config,
         if not x_preprocessed:
             X = _stack_context(X, c)
         A = _stack_context(A, c)
-    st = _dispatch_solver(X, A, cfg)
+    if cfg.nmf.normalize_exemplars:
+        # solve on unit-L2 atoms, return H in the unnormalized basis:
+        # X ≈ H'·(A/s) = (H'/s)·A, so H = H'/s and everything downstream
+        # (conversion H·B, residual, prune/sharpen refits on the original A)
+        # is untouched. Zero padding rows stay exactly zero in A/s and
+        # collapse their H column to 0 in the first MU step (numerator 0).
+        s = jnp.sqrt(jnp.sum(A * A, axis=1))          # (K,)
+        s = jnp.maximum(s, 1e-12)
+        st = _dispatch_solver(X, A / s[:, None], cfg)
+        st = NmfState(st.H / s[None, :], st.n_iter, st.error)
+    else:
+        st = _dispatch_solver(X, A, cfg)
     if cfg.nmf.prune_topk > 0:
         from exemplars_vc_tpu.factorize import prune_topk_refine
 

@@ -371,6 +371,33 @@ def test_serve_batch_mel_domain_with_context(cfg, store):
     np.testing.assert_allclose(batch[1].audio, single.audio, atol=2e-4)
 
 
+def test_normalize_exemplars_unnormalized_basis(cfg):
+    """nmf.normalize_exemplars solves on unit-L2 atoms but must return H in
+    the UNNORMALIZED basis (H'·(A/s) == (H'/s)·A), so reconstruction H·A
+    approximates X as well as the plain solve and zero padding rows keep
+    zero activations (held-out quality impact measured +0.07 dB — opt-in,
+    BENCHMARKS §held-out quality)."""
+    from dataclasses import replace
+
+    from exemplars_vc_tpu.pipelines.convert import _solve_activations
+
+    rng = np.random.default_rng(7)
+    X = np.abs(rng.standard_normal((24, 33))).astype(np.float32)
+    A = np.abs(rng.standard_normal((40, 33))).astype(np.float32)
+    A[13] *= 50.0          # wildly unequal atom energies
+    A[-4:] = 0.0           # padding rows
+    cfg_n = replace(cfg, nmf=replace(cfg.nmf, normalize_exemplars=True,
+                                     max_iter=80, tol=0.0))
+    cfg_b = replace(cfg, nmf=replace(cfg.nmf, max_iter=80, tol=0.0))
+    Hn = np.asarray(_solve_activations(X, A, cfg_n).H)
+    Hb = np.asarray(_solve_activations(X, A, cfg_b).H)
+    assert np.isfinite(Hn).all() and (Hn >= 0).all()
+    assert np.abs(Hn[:, -4:]).max() == 0.0
+    rn = np.linalg.norm(X - Hn @ A) / np.linalg.norm(X)
+    rb = np.linalg.norm(X - Hb @ A) / np.linalg.norm(X)
+    assert rn < 1.2 * rb + 0.02, (rn, rb)
+
+
 def test_dicts_memo_keyed_on_misc(cfg, tmp_path):
     """Two configs differing only in cfg.misc (file count via misc.nb_file)
     must not collide in the prepared-dictionary memo."""
