@@ -1,11 +1,14 @@
 """Profile the dictionary-build stage sub-steps with device fences.
 
-VERDICT r3 item 4: the fenced ``dicts`` stage is 0.458 s of the 0.582 s
-synced pipeline — this tool splits it into load / alignment features / DTW
-/ conversion features (src, tar) / exemplar gather+pack, each fenced, plus
-the artifact-store write cost (the bench builds into a FRESH store every
-run, so the async npz writes d2h their payloads through the ~20 MB/s
-tunnel during the stage).
+Originally built for VERDICT r3 item 4 (the fenced ``dicts`` stage was
+0.458 s and dominated by artifact d2h + per-speaker dispatches); the
+round-5 findings from this tool drove the pair-fused dispatches and the
+scalar-only DTW sync, and the sub-steps now mirror that structure:
+pair-fused alignment features / DTW compute / per-pair scalar sync /
+pair-fused conversion features / exemplar gather, each fenced, plus the
+artifact-store flush cost (the bench builds into a FRESH store every run,
+so the async npz writes d2h their payloads through the ~20 MB/s tunnel
+during the stage).
 
 Run on the real chip: ``python tools/profile_dicts.py``; add ``--cpu`` for
 the CPU backend. Prints one JSON object.
@@ -43,49 +46,40 @@ def fenced(fn):
 
 
 def one_build(cfg, store, flush_store=True):
-    """One full dictionary preparation with per-substep fences."""
+    """One full dictionary preparation with per-substep fences (round-5
+    structure: pair-fused feature dispatches, device-resident index paths,
+    scalar-only DTW sync)."""
     from exemplars_vc_tpu.align import dtw_batch
     from exemplars_vc_tpu.align.exemplar import build_exemplar_dicts_padded
-    from exemplars_vc_tpu.io import load_speaker
-    from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts
+    from exemplars_vc_tpu.pipelines.conv_dicts import build_conversion_dicts_pair
     from exemplars_vc_tpu.pipelines.make_dict import (
-        _extract_batch_stacked,
-        _pack_paths,
-        make_dictionary,
+        _extract_pair_stacked,
+        _pack_scalars,
     )
 
     t = {}
-    t0 = time.perf_counter()
-    src_sigs, _ = load_speaker(DATA, "SF1", nb_file=8, cpu_rate=cfg.misc.cpu_rate)
-    tar_sigs, _ = load_speaker(DATA, "TF1", nb_file=8, cpu_rate=cfg.misc.cpu_rate)
-    t["load"] = time.perf_counter() - t0
-
-    (FA, la), dt = fenced(lambda: _extract_batch_stacked(src_sigs, cfg, "mfcc"))
-    t["align_feats_src"] = dt
-    (FB, lb), dt = fenced(lambda: _extract_batch_stacked(tar_sigs, cfg, "mfcc"))
-    t["align_feats_tar"] = dt
+    # speaker audio: device-resident signal cache (uploads once per process)
+    ((FA, la), (FB, lb)), dt = fenced(
+        lambda: _extract_pair_stacked(cfg, DATA, 8))
+    t["align_feats_pair"] = dt
 
     r, dt = fenced(lambda: dtw_batch(FA, FB, la, lb))
     t["dtw_compute"] = dt
     t0 = time.perf_counter()
-    packed = np.asarray(_pack_paths(r.path_i, r.path_j, r.path_len, r.distance))
-    t["dtw_path_transfer"] = time.perf_counter() - t0
-    N, P = r.path_i.shape
-    path_i = packed[: N * P].reshape(N, P)
-    path_j = packed[N * P : 2 * N * P].reshape(N, P)
-    path_len = packed[2 * N * P : 2 * N * P + N]
+    N = r.path_i.shape[0]
+    small = np.asarray(_pack_scalars(r.path_len, r.distance))
+    t["dtw_scalar_sync"] = time.perf_counter() - t0
+    path_len = small[:N]
 
-    sf, dt = fenced(lambda: build_conversion_dicts(cfg, store, DATA, "SF1",
-                                                   nb_file=8).feats["stft"])
-    t["conv_feats_src"] = dt
-    tf_, dt = fenced(lambda: build_conversion_dicts(cfg, store, DATA, "TF1",
-                                                    nb_file=8).feats["stft"])
-    t["conv_feats_tar"] = dt
+    (sfeats, tfeats), dt = fenced(lambda: build_conversion_dicts_pair(
+        cfg, store, DATA, "SF1", "TF1", nb_file=8))
+    t["conv_feats_pair"] = dt
+    sf, tf_ = sfeats.feats["stft"], tfeats.feats["stft"]
 
     k_true = int(path_len.sum())
     k_pad = ((k_true + 511) // 512) * 512
     (A, B), dt = fenced(lambda: build_exemplar_dicts_padded(
-        sf, tf_, path_i, path_j, k_pad=k_pad))
+        sf, tf_, r.path_i, r.path_j, k_pad=k_pad))
     t["exemplar_gather"] = dt
 
     # store-write drain: wait for the async artifact writer to finish so the
