@@ -42,11 +42,17 @@ One iteration inside the kernel (2r + 2r small matmuls + elementwise):
     rebuilt = Σ_c roll(y, −c) · Banaᶜ            re-frame ∘ rfft
     angles  = normalize(rebuilt − μ/(1+μ)·prev);  prev = rebuilt
 
-Replaces the hot path of the reference's ``reconstruct_signal_griffin_lim``
+Same math family as the reference's ``reconstruct_signal_griffin_lim``
 (``zz_audio_utilities.py:258-292``) at its 300-iteration budget
-(``04_align_n_nmf.py:187``). The XLA twin stays the source of truth for
-parity tests and non-TPU backends; ``griffin_lim`` dispatches here on TPU
-when the layout fits (see dsp/griffin_lim.py).
+(``04_align_n_nmf.py:187``).
+
+MEASURED OUTCOME (real TPU, artifacts/gl_pallas_tpu.json): **parity** with
+the XLA loop (0.080 vs 0.075 s quiet-window medians, equal spectral
+convergence). Eliminating every per-iteration kernel launch did not move
+GL300 — the loop is at its serial small-tensor compute floor, not at a
+dispatch-latency floor. The kernel therefore ships as an OPT-IN
+engineering reference (with interpreter-mode parity tests); the XLA
+``griffin_lim`` remains the production synthesis path on every backend.
 """
 
 from __future__ import annotations
