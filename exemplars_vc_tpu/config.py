@@ -219,10 +219,15 @@ class NmfConfig:
     # runs on A with each exemplar row scaled to unit norm — activations
     # then rank exemplars by shape similarity rather than energy — and H is
     # rescaled back to the unnormalized basis afterward, so conversion
-    # (H·B), residual, and serving are untouched. At convergence this is an
-    # exact reparameterization; at the reference's finite iteration budgets
-    # it changes the MU trajectory (the uniform H init weights atoms
-    # differently). False = reference parity.
+    # (H·B), residual, and serving are untouched. With sparsity_l1=0, the
+    # converged solution is an exact reparameterization of the unnormalized
+    # problem; at finite iteration budgets it changes the MU trajectory
+    # (the uniform H init weights atoms differently). With sparsity_l1>0
+    # the objective genuinely changes: the rescale turns λ‖H‖₁ into a
+    # per-atom energy-weighted penalty λ·Σₖ sₖ‖H₍·,ₖ₎‖₁ (high-energy atoms
+    # penalized harder). False = reference parity. Measured +0.07 dB
+    # held-out (BENCHMARKS §held-out quality) — ships as an opt-in with
+    # the negative finding.
     normalize_exemplars: bool = False
 
 

@@ -59,12 +59,15 @@ def make_warping_dataset(cfg: Config, store: ArtifactStore, data_path: str,
         fb = jnp.asarray(tf_.feats[features])
         # the DTW paths index the dictionary-feature frame grid; conversion
         # features are extracted at the same hop, so the grids agree
-        assert int(np.asarray(art.path_i).max()) < fa.shape[1], \
-            f"alignment grid ({np.asarray(art.path_i).max()}) exceeds " \
+        max_idx = int(np.asarray(art.path_i).max())
+        assert max_idx < fa.shape[1], \
+            f"alignment grid ({max_idx}) exceeds " \
             f"{features} frames ({fa.shape[1]})"
     src = gather_aligned_batch(fa, jnp.asarray(art.path_i))
     tar = gather_aligned_batch(fb, jnp.asarray(art.path_j))
-    mask = (art.path_i >= 0).astype(np.float32)
+    # paths may be device-resident on a fresh build — materialize once so
+    # the returned mask is host numpy either way
+    mask = (np.asarray(art.path_i) >= 0).astype(np.float32)
     return np.asarray(src), np.asarray(tar), mask
 
 

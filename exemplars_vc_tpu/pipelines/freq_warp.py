@@ -111,6 +111,10 @@ def run_freq_warp(cfg, store, data_path: str, variant: str = "amf",
         return store.load(key)
 
     art = make_dictionary(cfg, store, data_path, nb_file=nb)
+    # fresh builds keep the index paths device-resident; this stage loops
+    # over them row-by-row on the host, so take ONE transfer upfront
+    # rather than a ~30-45 ms tunnel round trip per pair row
+    path_i, path_j = np.asarray(art.path_i), np.asarray(art.path_j)
     m = cfg.mcep
     rngsel = np.random.default_rng(0)
 
@@ -132,8 +136,8 @@ def run_freq_warp(cfg, store, data_path: str, variant: str = "amf",
                 jnp.asarray(src_sigs[n], jnp.float32), m.frame_length, m.hop_length))
             frames_b = np.asarray(frame_signal(
                 jnp.asarray(tar_sigs[n], jnp.float32), m.frame_length, m.hop_length))
-            ia = np.clip(art.path_i[n, take], 0, frames_a.shape[0] - 1)
-            ib = np.clip(art.path_j[n, take], 0, frames_b.shape[0] - 1)
+            ia = np.clip(path_i[n, take], 0, frames_a.shape[0] - 1)
+            ib = np.clip(path_j[n, take], 0, frames_b.shape[0] - 1)
             fa.append(frames_a[ia])
             fb.append(frames_b[ib])
         FA = jnp.asarray(np.concatenate(fa)[:max_pairs])
@@ -153,8 +157,8 @@ def run_freq_warp(cfg, store, data_path: str, variant: str = "amf",
                 continue
             take = rngsel.choice(ln, size=min(ln, max_pairs // art.path_len.shape[0] + 1),
                                  replace=False)
-            ia = np.clip(art.path_i[n, take], 0, src_f.feats["stft"].shape[1] - 1)
-            ib = np.clip(art.path_j[n, take], 0, tar_f.feats["stft"].shape[1] - 1)
+            ia = np.clip(path_i[n, take], 0, src_f.feats["stft"].shape[1] - 1)
+            ib = np.clip(path_j[n, take], 0, tar_f.feats["stft"].shape[1] - 1)
             sa.append(src_f.feats["stft"][n][ia])
             sb.append(tar_f.feats["stft"][n][ib])
         SA = jnp.asarray(np.concatenate(sa)[:max_pairs], jnp.float32)

@@ -30,10 +30,13 @@ from exemplars_vc_tpu.obs import Timer, get_logger
 
 @dataclass
 class DictionaryArtifacts:
-    """Index paths are always host numpy (small; consumers loop over them);
-    feat_a/feat_b are device arrays on a fresh build (they feed device-side
-    gathers — no reason to round-trip them through the ~20 MB/s host link)
-    and numpy when loaded back from the store."""
+    """Per-pair scalars (path_len, distance) are always host numpy. The
+    (N, P) index paths and feat_a/feat_b are DEVICE arrays on a fresh
+    build — they feed device-side gathers, and only the per-pair scalars
+    need the host on the critical path (the async artifact writer does
+    their d2h in the background) — and numpy when loaded back from the
+    store. Consumers that loop over path rows on the host should
+    ``np.asarray`` the paths once upfront (one transfer), not per row."""
 
     path_i: np.ndarray     # (N, P) source-frame indices per pair, −1 padded
     path_j: np.ndarray     # (N, P) target-frame indices
@@ -186,16 +189,6 @@ def _extract_pair_stacked(cfg: Config, data_path: str, nb: int):
                           m.n_mfcc, m.n_mels, n, t_pad_a, t_pad_b)
     FA, FB = fn(A, la, B, lb)
     return (FA, la), (FB, lb)
-
-
-@jax.jit
-def _pack_paths(path_i, path_j, path_len, distance):
-    """Flatten all small DTW outputs into one int32 vector for a single
-    device→host transfer (each round trip is ~30-45 ms on this backend)."""
-    return jnp.concatenate([
-        path_i.reshape(-1), path_j.reshape(-1), path_len.astype(jnp.int32),
-        jax.lax.bitcast_convert_type(distance.astype(jnp.float32), jnp.int32),
-    ])
 
 
 @jax.jit
